@@ -1,0 +1,219 @@
+"""Scene representation: a pytree of SoA device arrays.
+
+The reference injects scenes into the kernel as generated GLSL text —
+`const Mesh meshes[]`, `light_index[]`, and `sdf_meshes[i] = ...` lines
+spliced at `#scene` / `#sdf_meshes` markers (index.html:610-729,
+tools.js:47-51) — so every scene edit is a shader recompile.  Here a scene
+is *data*: structure-of-arrays jnp arrays carried through `jit`.  Editing
+positions/colors/lights re-traces nothing; only changing the number of
+meshes (array shapes) or feature flags triggers a re-jit, mirroring the
+reference's compile-time specialization where it actually matters.
+
+All continuous fields (positions, joker params, colors, emission, IOR,
+texture data) are differentiable leaves — the scene pytree is the
+parameter vector for gradient-based optimization.
+
+Indexing convention matches the reference: analytic meshes first, then SDF
+entries, so SDF ordinal `i` is global mesh index `num_analytic + i`
+(raytracer.glsl:990, index.html:703-717).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Union
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from raytracer0_tpu import rng as _rng
+from raytracer0_tpu.models.materials import (
+    MATERIALS, Material, MatType, MeshType, SdfShape, TexType,
+)
+
+
+@struct.dataclass
+class Scene:
+    # --- geometry (differentiable) ---
+    pos: Any        # f32[N, 3] position / plane normal
+    joker: Any      # f32[N, 4] multi-purpose params (radius, plane w, box size, sdf params)
+    # --- geometry (discrete) ---
+    mesh_type: Any  # i32[N] MeshType codes
+    sdf_shape: Any  # i32[N] SdfShape codes (-1 for non-SDF entries)
+    # --- materials (differentiable) ---
+    color: Any      # f32[N, 3]
+    emission: Any   # f32[N, 3] (glossiness for SPEC)
+    ior: Any        # f32[N] (negative = spectral Cauchy A)
+    tex_cmask: Any  # f32[N, 3]
+    tex_emask: Any  # f32[N, 3]
+    tex_params: Any  # f32[N, 4]
+    # --- materials (discrete) ---
+    mat_type: Any   # i32[N]
+    tex_type: Any   # i32[N]
+    opts: Any       # bool[N, 4] (color tex, emission tex, bump, backface cull)
+    # --- lights ---
+    light_idx: Any  # i32[L], padded with -1
+    # --- texture assets (differentiable) ---
+    images: Any     # f32[4, TH, TW, 4] image textures (u_tex0..3)
+    noise: Any      # f32[256, 256, 4] noise LUT (replaces rgba_noise256)
+    cubemap: Any    # f32[6, CH, CW, 3] environment cubemap
+    # --- static structure (part of the jit cache key) ---
+    num_analytic: int = struct.field(pytree_node=False, default=0)
+    num_sdfs: int = struct.field(pytree_node=False, default=0)
+    use_sphere: bool = struct.field(pytree_node=False, default=False)
+    use_plane: bool = struct.field(pytree_node=False, default=False)
+    use_box: bool = struct.field(pytree_node=False, default=False)
+
+    @property
+    def num_meshes(self) -> int:
+        return self.num_analytic + self.num_sdfs
+
+    @property
+    def num_lights(self) -> int:
+        return int(self.light_idx.shape[0])
+
+
+def _as_mat(mat: Union[str, Material]) -> tuple[str, Material]:
+    if isinstance(mat, str):
+        return mat, MATERIALS[mat]
+    return "", mat
+
+
+class SceneBuilder:
+    """Programmatic scene construction (TPU-native replacement for the
+    textarea DSL; `models.dsl` parses the reference's text format into
+    this builder)."""
+
+    def __init__(self):
+        self._rows = []          # analytic rows
+        self._sdf_rows = []      # SDF rows (always packed after analytic)
+        self._images = None
+        self._cubemap = None
+        self._explicit_lights: Optional[Sequence[int]] = None
+
+    def add(self, mat: Union[str, Material], mesh_type: MeshType,
+            pos: Sequence[float], joker: Sequence[float],
+            sdf_shape: SdfShape = SdfShape.BOX):
+        """Add one mesh row (one DSL line: `MAT, TYPE, vec3(pos), vec4(joker)`)."""
+        name, m = _as_mat(mat)
+        joker = tuple(joker) + (0.0,) * (4 - len(joker))
+        row = dict(name=name, mat=m, mesh_type=MeshType(mesh_type),
+                   pos=tuple(pos), joker=joker[:4], sdf_shape=SdfShape(sdf_shape))
+        if row["mesh_type"] in (MeshType.SDF, MeshType.GRID_SDF):
+            self._sdf_rows.append(row)
+        else:
+            self._rows.append(row)
+        return self
+
+    def images(self, images):
+        """Assign the 4 image textures: f32[4, TH, TW, 4] in [0, 1]."""
+        self._images = np.asarray(images, np.float32)
+        return self
+
+    def cubemap(self, faces):
+        """Assign a 6-face environment map: f32[6, CH, CW, 3]."""
+        self._cubemap = np.asarray(faces, np.float32)
+        return self
+
+    def lights(self, indices: Sequence[int]):
+        """Override automatic light detection with explicit mesh indices."""
+        self._explicit_lights = list(indices)
+        return self
+
+    def build(self) -> Scene:
+        rows = self._rows + self._sdf_rows
+        n = len(rows)
+        if n == 0:
+            raise ValueError("scene has no meshes")
+
+        pos = np.zeros((n, 3), np.float32)
+        joker = np.zeros((n, 4), np.float32)
+        mesh_type = np.zeros((n,), np.int32)
+        sdf_shape = np.full((n,), -1, np.int32)
+        color = np.zeros((n, 3), np.float32)
+        emission = np.zeros((n, 3), np.float32)
+        ior = np.zeros((n,), np.float32)
+        mat_type = np.zeros((n,), np.int32)
+        tex_type = np.full((n,), int(TexType.NONE), np.int32)
+        tex_cmask = np.ones((n, 3), np.float32)
+        tex_emask = np.ones((n, 3), np.float32)
+        tex_params = np.zeros((n, 4), np.float32)
+        opts = np.zeros((n, 4), bool)
+
+        lights = []
+        for i, row in enumerate(rows):
+            m = row["mat"]
+            pos[i] = row["pos"]
+            joker[i] = row["joker"]
+            mesh_type[i] = int(row["mesh_type"])
+            if row["mesh_type"] in (MeshType.SDF, MeshType.GRID_SDF):
+                sdf_shape[i] = int(row["sdf_shape"])
+            color[i] = m.c
+            emission[i] = m.e
+            ior[i] = m.nt
+            mat_type[i] = int(m.t)
+            tex_type[i] = int(m.tex.t)
+            tex_cmask[i] = m.tex.c_mask
+            tex_emask[i] = m.tex.e_mask
+            tex_params[i] = m.tex.params
+            opts[i] = m.opts
+            # Light auto-detection matches the reference DSL: any material
+            # whose *name* contains "MAT_LIGHT" (index.html:631-634).
+            if "MAT_LIGHT" in row["name"]:
+                lights.append(i)
+
+        if self._explicit_lights is not None:
+            lights = list(self._explicit_lights)
+        if not lights:
+            lights = [-1]  # sentinel row, as in the reference (index.html:655)
+
+        num_analytic = len(self._rows)
+        num_sdfs = len(self._sdf_rows)
+        types_present = {int(r["mesh_type"]) for r in self._rows}
+
+        images = self._images if self._images is not None else np.ones((4, 1, 1, 4), np.float32)
+        cubemap = self._cubemap if self._cubemap is not None else np.zeros((6, 1, 1, 3), np.float32)
+
+        return Scene(
+            pos=jnp.asarray(pos), joker=jnp.asarray(joker),
+            mesh_type=jnp.asarray(mesh_type), sdf_shape=jnp.asarray(sdf_shape),
+            color=jnp.asarray(color), emission=jnp.asarray(emission),
+            ior=jnp.asarray(ior),
+            tex_cmask=jnp.asarray(tex_cmask), tex_emask=jnp.asarray(tex_emask),
+            tex_params=jnp.asarray(tex_params),
+            mat_type=jnp.asarray(mat_type), tex_type=jnp.asarray(tex_type),
+            opts=jnp.asarray(opts),
+            light_idx=jnp.asarray(np.asarray(lights, np.int32)),
+            images=jnp.asarray(images),
+            noise=jnp.asarray(_rng.noise_lut()),
+            cubemap=jnp.asarray(cubemap),
+            num_analytic=num_analytic, num_sdfs=num_sdfs,
+            use_sphere=int(MeshType.SPHERE) in types_present,
+            use_plane=int(MeshType.PLANE) in types_present,
+            use_box=int(MeshType.BOX) in types_present,
+        )
+
+
+def animate_positions(scene: Scene, time_s, render_mode: int) -> Scene:
+    """Per-frame animated mesh positions (raytracer.glsl:263-298).
+
+    Mesh indices 6..14 orbit on circular paths whose radius/speed/phase
+    derive from the index; applied once per frame on the scene data (the
+    reference recomputes this inside every intersector call — here it is
+    hoisted out of the hot loop, which is semantically identical because
+    positions only depend on frame time).
+    """
+    if render_mode != 1:
+        return scene
+    n = scene.pos.shape[0]
+    idx = jnp.arange(n, dtype=jnp.float32)
+    animated = (idx >= 6) & (idx <= 14)
+    speed = 1.0 + (idx - 6.0) * 0.2
+    phase = (idx - 6.0) * 0.7
+    radius = 0.6
+    t = time_s
+    dx = jnp.cos(t * speed + phase) * radius * 0.3
+    dz = jnp.sin(t * speed + phase) * radius * 0.3
+    dy = jnp.sin(t * speed * 2.0 + phase) * 0.1
+    delta = jnp.stack([dx, dy, dz], axis=-1) * animated[:, None]
+    return scene.replace(pos=scene.pos + delta)

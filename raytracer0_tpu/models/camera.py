@@ -65,22 +65,29 @@ def tent_jitter(r):
     return jnp.where(flip, -d, d)
 
 
-def generate_rays(camera: Camera, height: int, width: int, pass_idx, sample_idx=0):
+def generate_rays(camera: Camera, height: int, width: int, pass_idx, sample_idx=0,
+                  row0=0, full_height=None):
     """Primary rays for every pixel: returns (origin, direction) of shape
     [H, W, 3] each.
 
     Pixel convention matches gl_FragCoord: x right, y **up** (row 0 is the
     bottom of the image); `utils.image` flips on save.
+
+    `row0`/`full_height` support tile sharding: a shard rendering rows
+    [row0, row0+height) of a `full_height`-tall image generates exactly
+    the rays the full render would.
     """
-    pix = rng.pixel_ids(height, width)
+    full_height = height if full_height is None else full_height
+    pix = rng.pixel_ids(height, width, row0=row0)
     r_aa_x = rng.uniform(pix, pass_idx, sample_idx, rng.Stream.AA)
     r_aa_y = rng.uniform(pix, pass_idx, sample_idx, rng.Stream.AA + 16)
     r_ap_ang, r_ap_rad = rng.uniform2(pix, pass_idx, sample_idx, rng.Stream.APERTURE)
 
     # Normalized screen coords in [-1, 1], pixel centers (gl_FragCoord = idx+0.5).
-    ys = (2.0 * (jnp.arange(height, dtype=jnp.float32) + 0.5) / height - 1.0)[:, None]
+    rows = jnp.arange(height, dtype=jnp.float32) + row0
+    ys = (2.0 * (rows + 0.5) / full_height - 1.0)[:, None]
     xs = (2.0 * (jnp.arange(width, dtype=jnp.float32) + 0.5) / width - 1.0)[None, :]
-    aspect = width / height
+    aspect = width / full_height
 
     theta = camera.fov * RAD
     v_len = jnp.tan(theta * 0.5)
@@ -89,7 +96,7 @@ def generate_rays(camera: Camera, height: int, width: int, pass_idx, sample_idx=
     u, v, w = camera.basis()
 
     dx = xs + tent_jitter(r_aa_x) / (width * 0.5)
-    dy = ys + tent_jitter(r_aa_y) / (height * 0.5)
+    dy = ys + tent_jitter(r_aa_y) / (full_height * 0.5)
 
     # Focal point along the jittered direction (raytracer.glsl:2140).
     d = vm.normalize(

@@ -1,0 +1,249 @@
+"""Scene presets — the reference's 9 scenes + the built-in default Cornell.
+
+Each preset returns `(scene, camera, config)` reproducing the scene
+geometry, camera, and feature flags of the reference's `scene_select`
+(index.html:752-1165) and the default viewport scene (index.js:54-95).
+Feature toggles the reference leaves to UI checkboxes (e.g. MIS) can be
+overridden via `**cfg_kw`.
+"""
+
+from __future__ import annotations
+
+import math
+
+from raytracer0_tpu.config import ANIMATED_CONFIG, OFFLINE_CONFIG, RenderConfig
+from raytracer0_tpu.models.camera import Camera
+from raytracer0_tpu.models.dsl import parse_scene
+from raytracer0_tpu.models.materials import SdfShape
+
+
+def _cfg(base: RenderConfig = OFFLINE_CONFIG, **kw) -> RenderConfig:
+    return base.replace(**kw)
+
+
+def cornell_default(**cfg_kw):
+    """The viewport's built-in Cornell box (index.js:54-95): 5 planes,
+    sphere light, two boxes; procedural-sky define on but fully enclosed."""
+    scene = parse_scene("""
+        MAT_CORNELL_WHITE, PLANE,  vec3( 0.0, 1.0, 0.0), vec4(1.5, 0.0, 0.0, 0.0)
+        MAT_CORNELL_WHITE, PLANE,  vec3( 0.0,-1.0, 0.0), vec4(1.5, 0.0, 0.0, 0.0)
+        MAT_CORNELL_WHITE, PLANE,  vec3( 0.0, 0.0, 1.0), vec4(2.5, 0.0, 0.0, 0.0)
+        MAT_CORNELL_RED,   PLANE,  vec3( 1.0, 0.0, 0.0), vec4(1.5, 0.0, 0.0, 0.0)
+        MAT_CORNELL_GREEN, PLANE,  vec3(-1.0, 0.0, 0.0), vec4(1.5, 0.0, 0.0, 0.0)
+        MAT_LIGHT_4,       SPHERE, vec3( 0.0, 1.4,-1.2), vec4(0.3, 0.0, 0.0, 0.0)
+        MAT_CORNELL_WHITE, BOX,    vec3( 0.5,-1.0,-1.8), vec4(1.0, 0.0, 0.0, 0.0)
+        MAT_CORNELL_WHITE, BOX,    vec3(-0.45,-1.15,-1.3), vec4(0.7, 0.0, 0.0, 0.0)
+    """)
+    camera = Camera.make(origin=(0.0, 0.0, 2.8), lookat=(0.0, 0.0, -1.0),
+                         fov=50.0, aperture=0.0, focal_length=3.5)
+    return scene, camera, _cfg(**cfg_kw)
+
+
+def default_scene(**cfg_kw):
+    """Preset 0 (index.html:752-789): two SDF boxes under the cubemap sky."""
+    scene = parse_scene("""
+        MAT_METAL, SDF, vec3(0.0, -0.49, 0.0), vec4(1.0)
+        MAT_WHITE, SDF, vec3(0.0, -1.6, -0.2), vec4(1.5, 0.1, 1.5, 0.0)
+    """, sdf_shapes=[SdfShape.BOX, SdfShape.BOX])
+    camera = Camera.make(origin=(0.0, 0.0, 4.0),
+                         lookat=(0.0, -math.pi / 18.0, -1.0), fov=45.0)
+    cfg = _cfg(use_cubemap=True, use_procedural_sky=False, **cfg_kw)
+    return scene, camera, cfg
+
+
+def cornell_box(**cfg_kw):
+    """Preset 1 (index.html:789-820): closed Cornell box with a textured
+    sphere light and an orange glass sphere."""
+    scene = parse_scene("""
+        MAT_WHITE, PLANE, vec3(0.0, 1.0, 0.0), vec4(2.0)
+        MAT_WHITE, PLANE, vec3(0.0, -1.0, 0.0), vec4(2.0)
+        MAT_GREEN, PLANE, vec3(1.0, 0.0, 0.0), vec4(2.0)
+        MAT_RED, PLANE, vec3(-1.0, 0.0, 0.0), vec4(2.0)
+        MAT_WHITE, PLANE, vec3(0.0, 0.0, 1.0), vec4(2.0)
+        MAT_WHITE, PLANE, vec3(0.0, 0.0, -1.0), vec4(2.0)
+        MAT_LIGHT_4_TEX, SPHERE, vec3(0.0, 1.5, -1.5), vec4(0.5)
+        MAT_REFR_CLEAR, SPHERE, vec3(0.0), vec4(0.5)
+    """)
+    camera = Camera.make(origin=(0.0, 0.0, 1.99), lookat=(0.0, 0.0, -1.0), fov=60.0)
+    cfg = _cfg(use_procedural_sky=False, **cfg_kw)
+    return scene, camera, cfg
+
+
+def mandelbulb(**cfg_kw):
+    """Preset 2 (index.html:821-855): Cornell walls + Mandelbulb SDF."""
+    scene = parse_scene("""
+        MAT_WHITE, PLANE, vec3(0.0, 1.0, 0.0), vec4(2.0)
+        MAT_WHITE, PLANE, vec3(0.0, -1.0, 0.0), vec4(2.0)
+        MAT_GREEN, PLANE, vec3(1.0, 0.0, 0.0), vec4(2.0)
+        MAT_RED, PLANE, vec3(-1.0, 0.0, 0.0), vec4(2.0)
+        MAT_WHITE, PLANE, vec3(0.0, 0.0, 1.0), vec4(2.0)
+        MAT_WHITE, PLANE, vec3(0.0, 0.0, -1.0), vec4(2.0)
+        MAT_LIGHT_4, SPHERE, vec3(0.0, 1.5, 1.5), vec4(0.5)
+        MAT_WHITE, SDF, vec3(0.0), vec4(0.0)
+    """, sdf_shapes=[SdfShape.MANDELBULB])
+    camera = Camera.make(origin=(0.0, 0.0, 1.99), lookat=(0.15, 0.15, -1.0), fov=45.0)
+    cfg = _cfg(use_procedural_sky=False, **cfg_kw)
+    return scene, camera, cfg
+
+
+def menger_sponge(**cfg_kw):
+    """Preset 3 (index.html:856-877): wax Menger sponge under the cubemap."""
+    scene = parse_scene(
+        "MAT_COAT_WAX, SDF, vec3(0.0), vec4(1.0)",
+        sdf_shapes=[SdfShape.MENGER_SPONGE])
+    camera = Camera.make(origin=(0.0, 0.0, 2.0), lookat=(0.0, 0.0, -1.0), fov=33.0)
+    cfg = _cfg(use_cubemap=True, use_procedural_sky=False, **cfg_kw)
+    return scene, camera, cfg
+
+
+def mis_demo(**cfg_kw):
+    """Preset 4 (index.html:878-908): tiny light occluded by an SDF box —
+    the classic NEE/MIS stress case."""
+    scene = parse_scene("""
+        MAT_WHITE, PLANE, vec3(0.0, 1.0, 0.0), vec4(2.0)
+        MAT_WHITE, PLANE, vec3(0.0, -1.0, 0.0), vec4(2.0)
+        MAT_GREEN, PLANE, vec3(1.0, 0.0, 0.0), vec4(2.0)
+        MAT_RED, PLANE, vec3(-1.0, 0.0, 0.0), vec4(2.0)
+        MAT_WHITE, PLANE, vec3(0.0, 0.0, 1.0), vec4(2.0)
+        MAT_WHITE, PLANE, vec3(0.0, 0.0, -1.0), vec4(2.0)
+        MAT_LIGHT_4, SPHERE, vec3(0.0, 1.8, 0.0), vec4(0.05)
+        MAT_WHITE, SDF, vec3(0.0, 1.0, 0.0), vec4(0.8, 0.1, 0.8, 0.0)
+    """, sdf_shapes=[SdfShape.BOX])
+    camera = Camera.make(origin=(0.0, 0.0, 1.99), lookat=(0.0, 0.0, -1.0), fov=90.0)
+    cfg = _cfg(use_procedural_sky=False, **cfg_kw)
+    return scene, camera, cfg
+
+
+_RESTIR_9_LIGHTS = """
+    MAT_WHITE, PLANE, vec3(0.0, 1.0, 0.0), vec4(2.0)
+    MAT_WHITE, PLANE, vec3(0.0, -1.0, 0.0), vec4(2.0)
+    MAT_GREEN, PLANE, vec3(1.0, 0.0, 0.0), vec4(2.0)
+    MAT_RED, PLANE, vec3(-1.0, 0.0, 0.0), vec4(2.0)
+    MAT_WHITE, PLANE, vec3(0.0, 0.0, 1.0), vec4(2.0)
+    MAT_WHITE, PLANE, vec3(0.0, 0.0, -1.0), vec4(2.0)
+    MAT_LIGHT_4, SPHERE, vec3(-0.8, 1.8, -0.8), vec4(0.03)
+    MAT_LIGHT_CANDLE_4, SPHERE, vec3(0.8, 1.8, -0.8), vec4(0.03)
+    MAT_LIGHT_HALOGEN_4, SPHERE, vec3(-0.8, 1.8, 0.8), vec4(0.03)
+    MAT_LIGHT_4, SPHERE, vec3(0.8, 1.8, 0.8), vec4(0.03)
+    MAT_LIGHT_4, SPHERE, vec3(0.0, 1.8, 0.0), vec4(0.02)
+    MAT_LIGHT_CANDLE_4, SPHERE, vec3(-0.4, 1.6, -0.4), vec4(0.02)
+    MAT_LIGHT_HALOGEN_4, SPHERE, vec3(0.4, 1.6, -0.4), vec4(0.02)
+    MAT_LIGHT_4, SPHERE, vec3(-0.4, 1.6, 0.4), vec4(0.02)
+    MAT_LIGHT_CANDLE_4, SPHERE, vec3(0.4, 1.6, 0.4), vec4(0.02)
+    MAT_REFR_CLEAR, SPHERE, vec3(-0.5, -0.5, 0.0), vec4(0.4)
+    MAT_MIRROR, SPHERE, vec3(0.5, -0.5, 0.0), vec4(0.4)
+    MAT_WHITE, SDF, vec3(0.0, 0.0, 0.0), vec4(0.3, 0.05, 0.3, 0.0)
+"""
+
+
+def restir_demo(**cfg_kw):
+    """Preset 5 (index.html:909-964): 9 small lights + glass/mirror spheres,
+    ReSTIR enabled."""
+    scene = parse_scene(_RESTIR_9_LIGHTS, sdf_shapes=[SdfShape.ROUND_BOX])
+    camera = Camera.make(origin=(0.0, 0.0, 1.99), lookat=(0.0, 0.0, -1.0), fov=60.0)
+    cfg = _cfg(use_restir=True, use_procedural_sky=False, **cfg_kw)
+    return scene, camera, cfg
+
+
+def _grid_lights():
+    """Preset 6's 48 ceiling lights (index.html:965-1014): a 5x? grid at
+    y=1.9 (r=0.02) plus a 4x4 grid at y=1.5 (r=0.015), cycling the three
+    light material colors."""
+    mats = ["MAT_LIGHT_4", "MAT_LIGHT_CANDLE_4", "MAT_LIGHT_HALOGEN_4"]
+    lines = []
+    k = 0
+    for z in (-1.2, -0.6, 0.0, 0.6, 1.2):
+        for x in (-1.2, -0.6, 0.0, 0.6, 1.2):
+            lines.append(f"{mats[k % 3]}, SPHERE, vec3({x}, 1.9, {z}), vec4(0.02)")
+            k += 1
+    # second layer: 4x4 at y=1.5, material cycle restarting at MAT_LIGHT_4
+    k = 0
+    for z in (-0.9, -0.3, 0.3, 0.9):
+        for x in (-0.9, -0.3, 0.3, 0.9):
+            lines.append(f"{mats[k % 3]}, SPHERE, vec3({x}, 1.5, {z}), vec4(0.015)")
+            k += 1
+    return "\n".join(lines)
+
+
+def restir_stress(**cfg_kw):
+    """Preset 6 (index.html:965-1014): 41+ lights in two ceiling grids —
+    the many-light showcase where ReSTIR beats per-light NEE."""
+    text = """
+        MAT_WHITE, PLANE, vec3(0.0, 1.0, 0.0), vec4(3.0)
+        MAT_WHITE, PLANE, vec3(0.0, -1.0, 0.0), vec4(3.0)
+        MAT_GREEN, PLANE, vec3(1.0, 0.0, 0.0), vec4(3.0)
+        MAT_RED, PLANE, vec3(-1.0, 0.0, 0.0), vec4(3.0)
+        MAT_WHITE, PLANE, vec3(0.0, 0.0, 1.0), vec4(3.0)
+        MAT_WHITE, PLANE, vec3(0.0, 0.0, -1.0), vec4(3.0)
+    """ + _grid_lights() + """
+        MAT_REFR_CLEAR, SPHERE, vec3(-0.7, -0.5, 0.0), vec4(0.3)
+        MAT_MIRROR, SPHERE, vec3(0.7, -0.5, 0.0), vec4(0.3)
+        MAT_WHITE, SDF, vec3(0.0, 0.0, 0.0), vec4(0.4, 0.05, 0.4, 0.0)
+    """
+    scene = parse_scene(text, sdf_shapes=[SdfShape.ROUND_BOX])
+    camera = Camera.make(origin=(0.0, 0.0, 2.5), lookat=(0.0, 0.0, -1.0), fov=60.0)
+    cfg = _cfg(use_restir=True, use_procedural_sky=False, **cfg_kw)
+    return scene, camera, cfg
+
+
+def animated_restir(**cfg_kw):
+    """Preset 7 (index.html:1015-1092): 10 moving lights, real-time budget
+    (ANIMATED_CONFIG: 6 bounces, EMA accumulation, ReSTIR on)."""
+    scene = parse_scene("""
+        MAT_WHITE, PLANE, vec3(0.0, 1.0, 0.0), vec4(2.0)
+        MAT_WHITE, PLANE, vec3(0.0, -1.0, 0.0), vec4(2.0)
+        MAT_GREEN, PLANE, vec3(1.0, 0.0, 0.0), vec4(2.0)
+        MAT_RED, PLANE, vec3(-1.0, 0.0, 0.0), vec4(2.0)
+        MAT_WHITE, PLANE, vec3(0.0, 0.0, 1.0), vec4(2.0)
+        MAT_WHITE, PLANE, vec3(0.0, 0.0, -1.0), vec4(2.0)
+        MAT_LIGHT_4, SPHERE, vec3(0.0, 1.7, 0.0), vec4(0.04)
+        MAT_LIGHT_CANDLE_4, SPHERE, vec3(0.8, 1.5, 0.8), vec4(0.03)
+        MAT_LIGHT_HALOGEN_4, SPHERE, vec3(-0.8, 1.5, 0.8), vec4(0.03)
+        MAT_LIGHT_4, SPHERE, vec3(0.8, 1.5, -0.8), vec4(0.03)
+        MAT_LIGHT_CANDLE_4, SPHERE, vec3(-0.8, 1.5, -0.8), vec4(0.03)
+        MAT_LIGHT_HALOGEN_4, SPHERE, vec3(0.0, 1.3, 1.2), vec4(0.025)
+        MAT_LIGHT_4, SPHERE, vec3(1.2, 1.3, 0.0), vec4(0.025)
+        MAT_LIGHT_CANDLE_4, SPHERE, vec3(0.0, 1.3, -1.2), vec4(0.025)
+        MAT_LIGHT_HALOGEN_4, SPHERE, vec3(-1.2, 1.3, 0.0), vec4(0.025)
+        MAT_REFR_CLEAR, SPHERE, vec3(-0.4, -0.3, 0.4), vec4(0.35)
+        MAT_MIRROR, SPHERE, vec3(0.4, -0.3, -0.4), vec4(0.35)
+        MAT_METAL, SDF, vec3(0.0, -0.2, 0.0), vec4(0.3, 0.05, 0.3, 0.0)
+    """, sdf_shapes=[SdfShape.ROUND_BOX])
+    camera = Camera.make(origin=(0.0, 0.0, 1.99), lookat=(0.0, 0.0, -1.0), fov=60.0)
+    cfg = _cfg(base=ANIMATED_CONFIG, use_procedural_sky=False, **cfg_kw)
+    return scene, camera, cfg
+
+
+def spectral_caustics(**cfg_kw):
+    """Preset 8 (index.html:1093-1146): dispersive flint sphere + mirror +
+    fog (vol_cornell_spectral — BASELINE config 5)."""
+    scene = parse_scene("""
+        MAT_CORNELL_WHITE,  PLANE,  vec3( 0.0, 1.0, 0.0), vec4(1.5, 0.0, 0.0, 0.0)
+        MAT_CORNELL_WHITE,  PLANE,  vec3( 0.0,-1.0, 0.0), vec4(1.5, 0.0, 0.0, 0.0)
+        MAT_CORNELL_WHITE,  PLANE,  vec3( 0.0, 0.0, 1.0), vec4(2.5, 0.0, 0.0, 0.0)
+        MAT_CORNELL_RED,    PLANE,  vec3( 1.0, 0.0, 0.0), vec4(1.5, 0.0, 0.0, 0.0)
+        MAT_CORNELL_GREEN,  PLANE,  vec3(-1.0, 0.0, 0.0), vec4(1.5, 0.0, 0.0, 0.0)
+        MAT_LIGHT_DEMO,     SPHERE, vec3( 0.0, 1.38,-1.0), vec4(0.14, 0.0, 0.0, 0.0)
+        MAT_LIGHT_CANDLE_4, SPHERE, vec3(-0.85, 1.25,-1.8), vec4(0.14, 0.0, 0.0, 0.0)
+        MAT_SPECTRAL_FLINT, SPHERE, vec3( 0.05,-0.45,-1.15), vec4(0.55, 0.0, 0.0, 0.0)
+        MAT_CORNELL_WHITE,  BOX,    vec3( 0.65,-1.2,-1.7), vec4(0.65, 0.0, 0.0, 0.0)
+        MAT_MIRROR,         SPHERE, vec3(-0.9,-1.05,-2.05), vec4(0.45, 0.0, 0.0, 0.0)
+    """)
+    camera = Camera.make(origin=(0.0, 0.0, 2.2), lookat=(0.0, -0.15, -1.0), fov=60.0)
+    cfg = _cfg(use_spectral=True, use_volumetrics=True,
+               use_procedural_sky=False, **cfg_kw)
+    return scene, camera, cfg
+
+
+PRESETS = {
+    "cornell_default": cornell_default,
+    "default": default_scene,
+    "cornell_box": cornell_box,
+    "mandelbulb": mandelbulb,
+    "menger_sponge": menger_sponge,
+    "mis_demo": mis_demo,
+    "restir_demo": restir_demo,
+    "restir_stress": restir_stress,
+    "animated_restir": animated_restir,
+    "spectral_caustics": spectral_caustics,
+}

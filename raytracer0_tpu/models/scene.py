@@ -63,6 +63,11 @@ class Scene:
     use_sphere: bool = struct.field(pytree_node=False, default=False)
     use_plane: bool = struct.field(pytree_node=False, default=False)
     use_box: bool = struct.field(pytree_node=False, default=False)
+    tex_types_used: tuple = struct.field(pytree_node=False, default=())
+    # Static SDF shape selection per SDF entry (the reference's per-SDF
+    # dropdown compiles shape choice into the kernel, index.html:703-717;
+    # here it specializes the traced program the same way).
+    sdf_shapes_static: tuple = struct.field(pytree_node=False, default=())
 
     @property
     def num_meshes(self) -> int:
@@ -191,6 +196,8 @@ class SceneBuilder:
             use_sphere=int(MeshType.SPHERE) in types_present,
             use_plane=int(MeshType.PLANE) in types_present,
             use_box=int(MeshType.BOX) in types_present,
+            tex_types_used=tuple(sorted({int(t) for t in tex_type if t != int(TexType.NONE)})),
+            sdf_shapes_static=tuple(int(r["sdf_shape"]) for r in self._sdf_rows),
         )
 
 

@@ -1,0 +1,93 @@
+"""Environment: procedural sky and cubemap sampling.
+
+Procedural sky matches the cosine-palette at raytracer.glsl:2062; the
+cubemap path replaces GLSL `texture(u_cubemap, dir)` with a differentiable
+face-select + bilinear gather over a `[6, H, W, 3]` array.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from raytracer0_tpu.ops import vecmath as vm
+
+TWO_PI = 6.28318531
+
+_SKY_PHASE = jnp.array([0.525, 0.408, 0.409])
+_SKY_FREQ = jnp.array([0.9, 0.97, 0.8])
+
+
+def procedural_sky(rd):
+    """Cosine-palette sky from ray direction (raytracer.glsl:2062)."""
+    h = jnp.clip(rd[..., 1] * 0.6 + 0.5, 0.3, 1.0)
+    return 0.5 + 0.5 * jnp.cos(TWO_PI * (_SKY_PHASE + _SKY_FREQ * h[..., None]))
+
+
+def _bilinear_face(face_img, u, v):
+    """Differentiable bilinear fetch on one face image [H, W, 3]; u, v in [0,1]."""
+    h, w = face_img.shape[0], face_img.shape[1]
+    x = jnp.clip(u * w - 0.5, 0.0, w - 1.0)
+    y = jnp.clip(v * h - 0.5, 0.0, h - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    c00 = face_img[y0, x0]
+    c01 = face_img[y0, x1]
+    c10 = face_img[y1, x0]
+    c11 = face_img[y1, x1]
+    return (c00 * (1 - fx) + c01 * fx) * (1 - fy) + (c10 * (1 - fx) + c11 * fx) * fy
+
+
+def sample_cubemap(cubemap, rd):
+    """Sample a [6, H, W, 3] cubemap by direction (GL face order:
+    +x, -x, +y, -y, +z, -z)."""
+    x, y, z = rd[..., 0], rd[..., 1], rd[..., 2]
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+
+    x_major = (ax >= ay) & (ax >= az)
+    y_major = (ay > ax) & (ay >= az)
+
+    face = jnp.where(
+        x_major, jnp.where(x > 0, 0, 1),
+        jnp.where(y_major, jnp.where(y > 0, 2, 3), jnp.where(z > 0, 4, 5)),
+    ).astype(jnp.int32)
+
+    ma = jnp.where(x_major, ax, jnp.where(y_major, ay, az))
+    ma = jnp.maximum(ma, 1e-9)
+
+    # GL cubemap (s, t) conventions per face.
+    sc = jnp.where(x_major, jnp.where(x > 0, -z, z),
+         jnp.where(y_major, x, jnp.where(z > 0, x, -x)))
+    tc = jnp.where(x_major, -y, jnp.where(y_major, jnp.where(y > 0, z, -z), -y))
+
+    u = 0.5 * (sc / ma + 1.0)
+    v = 0.5 * (tc / ma + 1.0)
+
+    # Gather from all 6 faces would be wasteful; instead index faces via
+    # take() on the face axis (cheap: 6 small images).
+    h, w = cubemap.shape[1], cubemap.shape[2]
+    xpix = jnp.clip(u * w - 0.5, 0.0, w - 1.0)
+    ypix = jnp.clip(v * h - 0.5, 0.0, h - 1.0)
+    x0 = jnp.floor(xpix).astype(jnp.int32)
+    y0 = jnp.floor(ypix).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = (xpix - x0)[..., None]
+    fy = (ypix - y0)[..., None]
+    c00 = cubemap[face, y0, x0]
+    c01 = cubemap[face, y0, x1]
+    c10 = cubemap[face, y1, x0]
+    c11 = cubemap[face, y1, x1]
+    return (c00 * (1 - fx) + c01 * fx) * (1 - fy) + (c10 * (1 - fx) + c11 * fx) * fy
+
+
+def environment(scene, rd, cfg):
+    """Environment radiance for escaped rays (raytracer.glsl:2059-2063)."""
+    if cfg.use_cubemap:
+        return sample_cubemap(scene.cubemap, rd)
+    if cfg.use_procedural_sky:
+        return procedural_sky(rd)
+    return jnp.zeros(rd.shape[:-1] + (3,), rd.dtype)

@@ -58,8 +58,7 @@ def refract(d, n, eta):
     cos_i = vdot(d, n)
     k = 1.0 - eta * eta * (1.0 - cos_i * cos_i)
     tir = k < 0.0
-    k_safe = jnp.maximum(k, 0.0)
-    t = eta[..., None] * d - (eta * cos_i + jnp.sqrt(k_safe))[..., None] * n
+    t = eta[..., None] * d - (eta * cos_i + safe_sqrt(k))[..., None] * n
     return jnp.where(tir[..., None], 0.0, t), tir
 
 
@@ -81,6 +80,18 @@ def max3(c):
 def smoothstep(e0, e1, x):
     t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
     return t * t * (3.0 - 2.0 * t)
+
+
+def safe_sqrt(x):
+    """sqrt(max(x, 0)) with a finite backward at and below 0.
+
+    `sqrt(max(x, 0))` has an inf derivative at the clamp boundary which
+    turns into NaN through `where`-masked lanes; this variant is exact in
+    the forward pass and has zero gradient for x <= 0.
+    """
+    pos = x > 0.0
+    r = jnp.sqrt(jnp.where(pos, x, 1.0))
+    return jnp.where(pos, r, 0.0)
 
 
 def safe_rsqrt(x, eps=EPS):

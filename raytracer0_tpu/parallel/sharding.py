@@ -1,0 +1,144 @@
+"""Multi-chip execution: tile sharding over a device mesh.
+
+The reference is single-device (SURVEY.md §2.5); its only spatial
+decomposition is a *sequential* 32x32 tile cursor (index.js:762-793).
+The TPU-native parallelism story mandated by BASELINE.json:
+
+  * P3/P4 — shard image rows ("tiles" axis) across chips via `shard_map`
+    over a 1-D `jax.sharding.Mesh`; scene data replicated;
+  * P5 — scene-parameter gradients `psum`-all-reduced over ICI inside the
+    same shard_map region, so XLA overlaps the reduce with the backward
+    sweep;
+  * P6 — ReSTIR spatial reuse crosses shard boundaries via halo exchange
+    (`parallel.halo`, `ppermute` of boundary strips);
+  * P8 — collectives are XLA `psum`/`ppermute`; multi-host runs
+    initialize via `jax.distributed` (`parallel.distributed`).
+
+TP/PP/EP do not exist in a path tracer and are deliberately not invented
+(SURVEY.md §2.5 P9) — rays are embarrassingly parallel; the interesting
+axes are space (tiles+halos) and time (frame scan).
+
+RNG determinism makes sharding exact: each shard draws the same numbers
+for its rows as a single-chip render would (`rng.pixel_ids(row0=...)`),
+so 1-chip and N-chip renders are bit-identical modulo float reduction
+order of the final `psum`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from raytracer0_tpu.config import RenderConfig
+from raytracer0_tpu.models.camera import Camera
+from raytracer0_tpu.render.renderer import sample_radiance
+
+AXIS = "tiles"
+
+
+def make_tile_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D device mesh over the tile axis."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return jax.make_mesh((len(devices),), (AXIS,), devices=devices)
+
+
+def sharded_render_pass(scene, camera: Camera, cfg: RenderConfig,
+                        mesh: Mesh, height: int, width: int,
+                        pass_idx=0, time_s=0.0):
+    """Forward render of one pass with rows sharded across the mesh.
+
+    Returns the full radiance image [H, W, 3], sharded over rows.
+    """
+    n = mesh.devices.size
+    if height % n:
+        raise ValueError(f"height {height} not divisible by {n} devices")
+    rows_per = height // n
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P()),            # scene + camera replicated
+        out_specs=P(AXIS),              # image rows sharded
+        check_vma=False,                # scan carries mix varying/constant
+    )
+    def _render(scene, camera):
+        shard = jax.lax.axis_index(AXIS)
+        row0 = (shard * rows_per).astype(jnp.uint32)
+        return sample_radiance(scene, cfg, camera, rows_per, width, pass_idx,
+                               time_s=time_s, row0=row0, full_height=height)
+
+    return _render(scene, camera)
+
+
+def make_train_step(cfg: RenderConfig, mesh: Mesh, height: int, width: int,
+                    param_labels=("color", "emission", "joker", "pos", "ior")):
+    """Build the jitted distributed training step: forward render +
+    backward sweep + `psum` gradient all-reduce, all inside one
+    `shard_map` region so XLA overlaps the collective with the backward
+    computation (BASELINE.json north star).
+
+    The step optimizes scene parameters against a target image
+    (sharded over rows like the render):
+
+        loss = mean((radiance - target)^2)
+
+    Returns `step(scene, camera, target, pass_idx) -> (loss, grads)`
+    where `grads` is a scene-pytree of parameter gradients (replicated —
+    already summed over shards).
+    """
+    n = mesh.devices.size
+    rows_per = height // n
+
+    def _loss_local(scene, camera, target_rows, row0, pass_idx):
+        rad = sample_radiance(scene, cfg, camera, rows_per, width, pass_idx,
+                              row0=row0, full_height=height)
+        # mean over the FULL image (each shard contributes its rows)
+        return jnp.sum((rad - target_rows) ** 2) / (height * width * 3)
+
+    def _split(scene):
+        params = {k: getattr(scene, k) for k in param_labels}
+        return params
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def _step(scene, camera, target, pass_idx):
+        shard = jax.lax.axis_index(AXIS)
+        row0 = (shard * rows_per).astype(jnp.uint32)
+
+        def loss_fn(params):
+            s = scene.replace(**params)
+            return _loss_local(s, camera, target, row0, pass_idx)
+
+        loss, grads = jax.value_and_grad(loss_fn)(_split(scene))
+        # Gradient all-reduce over ICI, overlapped with backward by XLA.
+        loss = jax.lax.psum(loss, AXIS)
+        grads = jax.lax.psum(grads, AXIS)
+        return loss, grads
+
+    @jax.jit
+    def step(scene, camera, target, pass_idx):
+        return _step(scene, camera, target, pass_idx)
+
+    return step
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree replicated on every device of the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_rows(image, mesh: Mesh):
+    """Place an [H, W, ...] array row-sharded over the mesh."""
+    spec = P(AXIS) if image.ndim >= 1 else P()
+    return jax.device_put(image, NamedSharding(mesh, spec))

@@ -1,0 +1,132 @@
+"""Progressive renderer: the frame/pass loop.
+
+Replaces the reference's host render loop (`GlslViewport.render`,
+index.js:986-1105 + `RenderLoop`, index.html:1218-1242): each pass traces
+`samples_per_pass` radiance samples per pixel and folds them into the
+accumulator — additive for static scenes, EMA for animated ones
+(raytracer.glsl:2157-2169).  Everything is jit-compiled with the config
+and image shape static; camera/scene/time are traced, so interaction never
+recompiles.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from raytracer0_tpu import rng
+from raytracer0_tpu.config import RenderConfig, RenderMode
+from raytracer0_tpu.models import scene as scene_mod
+from raytracer0_tpu.models.camera import Camera, generate_rays
+from raytracer0_tpu.ops import tonemap
+from raytracer0_tpu.render import integrator
+from raytracer0_tpu.render.state import RenderState
+
+
+def _get_sdf_march(scene):
+    """SDF marcher hook, bound only when the scene contains SDF entries."""
+    if scene.num_sdfs > 0:
+        from raytracer0_tpu.ops import sdf as sdf_ops
+        return sdf_ops.march
+    return None
+
+
+def _get_restir_sampler(cfg):
+    if cfg.use_restir:
+        try:
+            from raytracer0_tpu.ops import restir as restir_ops
+            return restir_ops  # module handle; renderer drives its phases
+        except ImportError:
+            return None
+    return None
+
+
+def sample_radiance(scene, cfg: RenderConfig, camera: Camera,
+                    height: int, width: int, pass_idx, time_s=0.0,
+                    restir_sampler=None, row0=0, full_height=None):
+    """Trace all samples of one pass; returns mean radiance f32[H, W, 3].
+
+    `row0`/`full_height` render a horizontal band of a larger image
+    (tile sharding and the tile renderer both use this)."""
+    scene = scene_mod.animate_positions(scene, time_s, int(cfg.render_mode))
+    pix = rng.pixel_ids(height, width, row0=row0)
+    sdf_march = _get_sdf_march(scene)
+
+    total = jnp.zeros((height, width, 3), jnp.float32)
+    for s in range(cfg.samples_per_pass):
+        ro, rd = generate_rays(camera, height, width, pass_idx, sample_idx=s,
+                               row0=row0, full_height=full_height)
+        total = total + integrator.trace(
+            scene, cfg, ro, rd, pix, pass_idx, s,
+            sdf_march=sdf_march, restir_sampler=restir_sampler)
+    return total / cfg.samples_per_pass
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
+def render_pass(scene, camera: Camera, cfg: RenderConfig,
+                state: RenderState, height: int, width: int, time_s=0.0):
+    """One progressive pass (the reference's per-frame draw,
+    index.js:986-1105).  Returns the updated RenderState."""
+    restir = _get_restir_sampler(cfg)
+    if restir is not None:
+        # ReSTIR-enabled passes produce a new reservoir buffer as a second
+        # output; ops.restir wires the integrator hook and phase pipeline.
+        radiance, new_back = restir.render_sample(
+            scene, cfg, camera, state, height, width, state.passes, time_s)
+        state = state.rotate_reservoirs(new_back)
+    else:
+        radiance = sample_radiance(scene, cfg, camera, height, width,
+                                   state.passes, time_s)
+
+    if cfg.render_mode == RenderMode.ANIMATED:
+        alpha = 1.0 / cfg.temporal_frames
+        accum = state.accum + (radiance - state.accum) * alpha
+    else:
+        accum = state.accum + radiance
+    return state.replace(accum=accum, passes=state.passes + 1)
+
+
+def display_image(state: RenderState, cfg: RenderConfig):
+    """Tonemapped [0,1] image from the accumulator (tonemapper.glsl:30-32;
+    u_cont = 1/passes for static, 1.0 for animated — index.js:1083-1089)."""
+    if cfg.render_mode == RenderMode.ANIMATED:
+        cont = 1.0
+    else:
+        cont = 1.0 / jnp.maximum(state.passes.astype(jnp.float32), 1.0)
+    return tonemap.display(state.accum, cont, cfg)
+
+
+class Renderer:
+    """Convenience wrapper owning (scene, camera, config, image size) —
+    the `GlslViewport` equivalent minus the GL plumbing."""
+
+    def __init__(self, scene, camera: Camera, cfg: RenderConfig,
+                 height: int, width: int):
+        self.scene = scene
+        self.camera = camera
+        self.cfg = cfg
+        self.height = height
+        self.width = width
+        self.state = RenderState.create(height, width)
+
+    def reset(self):
+        """The accumulator clear on camera/scene edits (index.js:822-880)."""
+        self.state = RenderState.create(self.height, self.width)
+
+    def step(self, time_s: float = 0.0):
+        self.state = render_pass(self.scene, self.camera, self.cfg,
+                                 self.state, self.height, self.width, time_s)
+        return self.state
+
+    def render(self, passes: int, time_s: float = 0.0):
+        """Batch render (the reference's `max_passes` loop,
+        index.html:1218-1242)."""
+        for _ in range(passes):
+            self.step(time_s)
+        return self.image()
+
+    def image(self):
+        return display_image(self.state, self.cfg)

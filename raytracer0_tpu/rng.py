@@ -41,11 +41,16 @@ _INV_2_24 = np.float32(1.0 / (1 << 24))
 
 
 def pcg(x, xp=jnp):
-    """PCG-RXS-M-XS output hash on uint32 (Jarzynski & Olano 2020)."""
-    x = x.astype(xp.uint32) if hasattr(x, "astype") else xp.uint32(x)
-    x = x * _M1 + _A1
-    x = ((x >> ((x >> np.uint32(28)) + np.uint32(4))) ^ x) * _M2
-    return (x >> np.uint32(22)) ^ x
+    """PCG-RXS-M-XS output hash on uint32 (Jarzynski & Olano 2020).
+
+    uint32 wraparound is the intended semantics; errstate silences numpy's
+    scalar-overflow warnings on the CPU-reference path.
+    """
+    with np.errstate(over="ignore"):
+        x = x.astype(xp.uint32) if hasattr(x, "astype") else xp.uint32(x)
+        x = x * _M1 + _A1
+        x = ((x >> ((x >> np.uint32(28)) + np.uint32(4))) ^ x) * _M2
+        return (x >> np.uint32(22)) ^ x
 
 
 def fold(*coords, xp=jnp):
@@ -55,9 +60,10 @@ def fold(*coords, xp=jnp):
     state is re-hashed, so permuted/equal coordinates do not collide.
     """
     h = xp.asarray(np.uint32(0x5BD1E995))
-    for i, c in enumerate(coords):
-        c = xp.asarray(c, dtype=xp.uint32)
-        h = pcg(h + c * _CK[i % len(_CK)] + np.uint32(i), xp=xp)
+    with np.errstate(over="ignore"):
+        for i, c in enumerate(coords):
+            c = xp.asarray(c, dtype=xp.uint32)
+            h = pcg(h + c * _CK[i % len(_CK)] + np.uint32(i), xp=xp)
     return h
 
 
@@ -111,9 +117,14 @@ class Stream(enum.IntEnum):
     RR = 15                # (reserved) russian roulette
 
 
-def pixel_ids(height: int, width: int, xp=jnp):
-    """uint32 pixel counter grid of shape [H, W] (row-major)."""
-    r = xp.arange(height, dtype=xp.uint32)[:, None]
+def pixel_ids(height: int, width: int, xp=jnp, row0=0):
+    """uint32 pixel counter grid of shape [H, W] (row-major).
+
+    `row0` offsets the row index — used by tile sharding so a shard
+    owning rows [row0, row0+H) draws the same numbers it would in a
+    single-device render (determinism across sharding).
+    """
+    r = xp.arange(height, dtype=xp.uint32)[:, None] + xp.uint32(row0)
     c = xp.arange(width, dtype=xp.uint32)[None, :]
     return r * xp.uint32(width) + c
 

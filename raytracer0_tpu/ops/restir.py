@@ -1,0 +1,445 @@
+"""ReSTIR: spatiotemporal reservoir resampling for direct lighting.
+
+Full redesign of the reference subsystem (raytracer.glsl:1264-1802 +
+host buffer rotation index.js:795-820, SURVEY.md §2.4) as array ops over
+the [H, W] pixel grid:
+
+* reservoirs are an **unpacked SoA pytree** (`render.state.Reservoirs`) —
+  the reference's lossy 0.33/0.33/0.34 alpha-packing (1423-1468) exists
+  only because WebGL limits it to RGBA16/32F attachments; TPU arrays
+  don't, so age/M/light_index are carried exactly;
+* the three history buffers are functional state threaded through the
+  frame loop (back → hist1 → hist2 rotation in `RenderState`);
+* spatial reuse is 8 static Poisson-disk **gathers** on the previous
+  frame's reservoir grid; under tile sharding these taps read halo rows
+  exchanged via `ppermute` (`parallel.halo`);
+* `light_index` stores the **slot** into `scene.light_idx` consistently.
+  (The reference writes the mesh index in candidate generation (1652) but
+  reads it back as an array slot (1762) — an index-space bug masked by
+  its packing normalization; we use slot indices everywhere.)
+
+Differentiable-state treatment per SURVEY.md §7.1-8: the discrete
+selection (which light a reservoir holds) is detached; carried weights,
+colors and the final shading are differentiable.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from raytracer0_tpu import rng
+from raytracer0_tpu.models.materials import MatType, MeshType
+from raytracer0_tpu.models.camera import generate_rays
+from raytracer0_tpu.models import scene as scene_mod
+from raytracer0_tpu.ops import intersect as isect
+from raytracer0_tpu.ops import sampling as smp
+from raytracer0_tpu.ops import vecmath as vm
+
+ONE_OVER_PI = 0.31830989
+
+# Constants (raytracer.glsl:1266-1273).
+RESTIR_SPATIAL_SAMPLES = 8
+SPATIAL_RADIUS = 16.0
+TEMPORAL_ALPHA = 0.95
+MAX_RESERVOIR_AGE = 30.0
+MAX_TEMPORAL_SAMPLES = 2
+
+# Poisson disk offsets (raytracer.glsl:1288-1297), unit disk.
+POISSON_DISK = (
+    (-0.4706, 0.4706), (0.8090, 0.2628), (-0.2628, -0.8090),
+    (0.6882, -0.5000), (-0.9511, -0.1625), (0.1625, 0.9511),
+    (0.5000, -0.6882), (-0.6882, 0.5000),
+)
+
+
+def empty_reservoir(batch):
+    return dict(
+        light_pos=jnp.zeros(batch + (3,), jnp.float32),
+        light_color=jnp.zeros(batch + (3,), jnp.float32),
+        weight_sum=jnp.zeros(batch, jnp.float32),
+        m=jnp.zeros(batch, jnp.float32),
+        w=jnp.zeros(batch, jnp.float32),
+        age=jnp.zeros(batch, jnp.float32),
+        light_index=jnp.full(batch, -1, jnp.int32),
+    )
+
+
+def _where_res(cond, a, b):
+    out = {}
+    for k in a:
+        c = cond[..., None] if a[k].ndim > cond.ndim else cond
+        out[k] = jnp.where(c, a[k], b[k])
+    return out
+
+
+def evaluate_target(light_pos, light_color, hit_pos, hit_normal,
+                    mat_c, mat_nt, mat_type):
+    """Target function p̂ (raytracer.glsl:1361-1387): luminance of emitted
+    radiance x material-aware BRDF weight x cosθ / d²."""
+    lv = light_pos - hit_pos
+    d2 = vm.vdot(lv, lv)
+    light_dir = vm.normalize(lv)
+    cos_t = jnp.maximum(0.0, vm.vdot(hit_normal, light_dir))
+    light_lum = vm.luminance(light_color)
+
+    surface_lum = vm.luminance(mat_c)
+    nnt = (mat_nt - 1.0) / jnp.maximum(mat_nt + 1.0, 1e-6)
+    r0 = nnt * nnt
+    is_refr = ((mat_type == MatType.REFR_FRESNEL) |
+               (mat_type == MatType.REFR_SCHLICK)).astype(jnp.float32)
+    is_coat = (mat_type == MatType.COAT).astype(jnp.float32)
+    base = vm.mix(surface_lum, r0, is_refr)
+    brdf_weight = vm.mix(base, (1.0 - r0) * surface_lum, is_coat) * ONE_OVER_PI
+
+    p_hat = light_lum * brdf_weight * cos_t / jnp.maximum(d2, 1e-4)
+    valid = (d2 >= 1e-6) & (cos_t > 0.0) & (light_lum > 0.0)
+    return jnp.where(valid, p_hat, 0.0)
+
+
+def update_reservoir(r, light_pos, light_color, light_slot, weight, rand):
+    """Weighted reservoir update with M-overflow decay (raytracer.glsl:
+    1305-1326).  All fields updated branch-free under `accept`."""
+    take = weight > 0.0
+    ws = r["weight_sum"] + jnp.where(take, weight, 0.0)
+    m = r["m"] + jnp.where(take, 1.0, 0.0)
+    overflow = m > 60.0
+    ws = jnp.where(overflow, ws * 0.95, ws)
+    m = jnp.where(overflow, m * 0.95, m)
+
+    sel_prob = weight / jnp.maximum(ws, 1e-12)
+    select = take & (ws > 0.0) & (rand < sel_prob)
+    return dict(
+        light_pos=vm.where3(select, light_pos, r["light_pos"]),
+        light_color=vm.where3(select, light_color, r["light_color"]),
+        light_index=jnp.where(select, light_slot, r["light_index"]),
+        weight_sum=ws, m=m, w=r["w"], age=r["age"],
+    )
+
+
+def is_valid_reservoir(r, num_lights):
+    """Validity gates (raytracer.glsl:1340-1359)."""
+    def fin(x):
+        return jnp.isfinite(x)
+
+    ok = fin(r["m"]) & fin(r["weight_sum"]) & fin(r["w"]) & fin(r["age"])
+    ok &= (r["m"] > 0.0) & (r["m"] <= 200.0)
+    ok &= (r["weight_sum"] > 0.0) & (r["weight_sum"] <= 1000.0)
+    ok &= (r["w"] >= 0.0) & (r["w"] <= 20.0)
+    ok &= (r["age"] >= 0.0) & (r["age"] <= MAX_RESERVOIR_AGE + 5.0)
+    lc2 = vm.vdot(r["light_color"], r["light_color"])
+    ok &= (lc2 >= 1e-6) & (lc2 <= 1e4)
+    ok &= (r["light_index"] < num_lights)
+    lp2 = vm.vdot(r["light_pos"], r["light_pos"])
+    ok &= ~((lp2 < 1e-6) & (r["light_index"] >= 0))
+    return ok
+
+
+def combine_reservoirs(target, source, hit_pos, hit_normal, mat_c, mat_nt,
+                       mat_type, rand_val, num_lights, source_ok=None):
+    """Merge `source` into `target` with target-function reweighting and
+    M-cap 40 with proportional weight rescale (raytracer.glsl:1579-1611)."""
+    ok = is_valid_reservoir(source, num_lights)
+    if source_ok is not None:
+        ok &= source_ok
+    tw = evaluate_target(source["light_pos"], source["light_color"],
+                         hit_pos, hit_normal, mat_c, mat_nt, mat_type)
+    ok &= tw > 0.0
+
+    contribution = jnp.clip(
+        tw * jnp.maximum(source["w"], 0.0) * jnp.maximum(source["m"], 1.0),
+        0.0, 200.0)
+
+    ws = target["weight_sum"] + jnp.where(ok, contribution, 0.0)
+    m = target["m"] + jnp.where(ok, source["m"], 0.0)
+
+    over = m > 40.0
+    scale = jnp.where(over, 40.0 / jnp.maximum(m, 1e-6), 1.0)
+    ws = ws * scale
+    m = jnp.minimum(m, 40.0)
+
+    sel_prob = contribution / jnp.maximum(ws, 1e-12)
+    select = ok & (ws > 0.0) & (rand_val < sel_prob)
+    new_age = jnp.minimum(source["age"] + 0.25, MAX_RESERVOIR_AGE)
+    return dict(
+        light_pos=vm.where3(select, source["light_pos"], target["light_pos"]),
+        light_color=vm.where3(select, source["light_color"], target["light_color"]),
+        light_index=jnp.where(select, source["light_index"], target["light_index"]),
+        age=jnp.where(select, new_age, target["age"]),
+        weight_sum=ws, m=m, w=target["w"],
+    )
+
+
+def is_visible(scene, cfg, from_pos, to_pos, sdf_march=None):
+    """Shadow-ray visibility (raytracer.glsl:1389-1414): occluders that are
+    themselves lights don't block."""
+    sd = to_pos - from_pos
+    dist = vm.safe_length(sd)
+    close = dist < cfg.epsilon * 10.0
+    sdir = sd / dist[..., None]
+    hit = isect.intersect(scene, from_pos + sdir * (cfg.epsilon * 2.0), sdir,
+                          cfg, sdf_march=sdf_march)
+    blocked = (hit.t < dist - cfg.epsilon * 2.0) & ~hit.missed
+    blocker_is_light = scene.mat_type[hit.idx] == MatType.LIGHT
+    return close | ~blocked | (blocked & blocker_is_light)
+
+
+def finalize_reservoir(r, hit_pos, hit_normal, mat_c, mat_nt, mat_type,
+                       visible):
+    """W = weight_sum/(p̂·clamp(M,1,40)) with age/M bias corrections,
+    visibility, W clamp [0,12], NaN guard (raytracer.glsl:1525-1576)."""
+    p_hat = evaluate_target(r["light_pos"], r["light_color"], hit_pos,
+                            hit_normal, mat_c, mat_nt, mat_type)
+    good = (r["weight_sum"] > 0.0) & (r["m"] > 0.0) & (p_hat > 0.0) & visible
+
+    m_cl = jnp.clip(r["m"], 1.0, 40.0)
+    raw_w = r["weight_sum"] / jnp.maximum(p_hat * m_cl, 1e-12)
+
+    bias = jnp.ones_like(raw_w)
+    norm_age = jnp.clip(r["age"] / MAX_RESERVOIR_AGE, 0.0, 1.0)
+    bias = bias * jnp.where(r["age"] > 0.0,
+                            vm.mix(0.85, 1.0, 1.0 - norm_age * 0.3), 1.0)
+    bias = bias * jnp.where(m_cl > 16.0, vm.safe_sqrt(16.0 / m_cl), 1.0)
+
+    w = jnp.clip(bias * raw_w, 0.0, 12.0)
+    w = jnp.where(jnp.isfinite(w), w, 0.0)
+    out = dict(r)
+    out["w"] = jnp.where(good, w, 0.0)
+    return out
+
+
+def _res_tree(res: "render.state.Reservoirs"):
+    return dict(light_pos=res.light_pos, light_color=res.light_color,
+                weight_sum=res.weight_sum, m=res.m, w=res.w, age=res.age,
+                light_index=res.light_index)
+
+
+def _gather_pixels(res_dict, rows, cols):
+    """Gather reservoir fields at integer pixel coords [H, W] -> [H, W]."""
+    return {k: v[rows, cols] for k, v in res_dict.items()}
+
+
+def _shade_selected(scene, cfg, slot_map, x, nl, pix, pass_idx, sample_idx,
+                    depth, sdf_march, render_mode, time_s):
+    """calcDirectLighting for a per-pixel selected light slot
+    (raytracer.glsl:1779 → 1174-1230), vectorized over traced indices.
+    Sphere lights only take the cone-sampling branch; SDF lights the
+    bound-point branch."""
+    slot = jnp.clip(slot_map, 0, scene.num_lights - 1)
+    li = jnp.maximum(scene.light_idx[slot], 0)
+
+    l_pos = scene.pos[li]
+    l_joker = scene.joker[li]
+    is_sphere = scene.mesh_type[li] == MeshType.SPHERE
+
+    u1, u2 = rng.uniform2(pix, pass_idx, sample_idx, depth,
+                          rng.Stream.NEE_CONE, 77)
+    sw = l_pos - x
+    d2 = vm.vdot(sw, sw)
+    r2 = l_joker[..., 0] * l_joker[..., 0]
+    cos_a_max = vm.safe_sqrt(1.0 - jnp.clip(vm.safe_div(r2, d2), 0.0, 1.0))
+    dir_sphere = smp.sample_cone(vm.normalize(sw), 1.0 - cos_a_max, u1, u2)
+
+    su1, su2 = rng.uniform2(pix, pass_idx, sample_idx, depth,
+                            rng.Stream.NEE_SDF_POINT, 77)
+    pt = smp.random_sphere_direction(su1, su2)
+    dir_sdf = vm.normalize(l_pos + pt * l_joker[..., :3] - x)
+
+    sr_dir = vm.where3(is_sphere, dir_sphere, dir_sdf)
+    hit = isect.intersect(scene, x + nl * cfg.epsilon, sr_dir, cfg,
+                          sdf_march=sdf_march)
+    hit_is_light = (scene.mat_type[hit.idx] == MatType.LIGHT) & ~hit.missed
+    lit_c = jnp.maximum(scene.color[hit.idx], 0.001)
+    cos_term = jnp.maximum(0.001, vm.vdot(sr_dir, nl))
+    if cfg.use_volumetrics:
+        t_fog = jnp.exp(-cfg.vol_sigma_t * hit.t)
+    else:
+        t_fog = jnp.ones_like(hit.t)
+    weight = jnp.where(is_sphere, 2.0 * (1.0 - cos_a_max), 1.0)
+    fog = jnp.where(is_sphere, t_fog, 1.0)
+    contrib = lit_c * scene.emission[hit.idx] * (weight * cos_term * fog)[..., None]
+    return jnp.where(hit_is_light[..., None], contrib, 0.0)
+
+
+def make_sampler(state, height, width, sdf_march, time_s=0.0):
+    """Build the `restir_sampler` hook for `integrator.trace`, closed over
+    the frame's history state (`RenderState.restir_*`)."""
+    back = _res_tree(state.restir_back)
+    hist = [_res_tree(state.restir_hist1), _res_tree(state.restir_hist2)]
+    return make_sampler_from_trees(back, hist, height, width, sdf_march,
+                                   time_s)
+
+
+def make_sampler_from_trees(back, hist, height, width, sdf_march,
+                            time_s=0.0, row0=0, pad=0):
+    """Sampler over explicit reservoir trees.
+
+    `height`/`width` are the *global* image dims.  For tile sharding the
+    trees are local row bands padded with `pad` exchanged halo rows on
+    each side (parallel.halo), and `row0` is the shard's first global
+    row; gathers translate global rows into the padded band and reject
+    taps that fall outside the exchanged halo.
+    """
+
+    local_h = back["m"].shape[0]
+
+    def band_gather(tree, grow, gcol):
+        """Gather at global (row, col); returns (fields, in_band mask)."""
+        lr = grow - row0 + pad
+        in_band = (lr >= 0) & (lr < local_h)
+        lr = jnp.clip(lr, 0, local_h - 1)
+        return {k: v[lr, gcol] for k, v in tree.items()}, in_band
+
+    def sampler(scene, cfg, hit, nl, mask, pix, pass_idx, sample_idx, depth):
+        batch = hit.t.shape
+        rows = (pix // jnp.uint32(width)).astype(jnp.int32)
+        cols = (pix % jnp.uint32(width)).astype(jnp.int32)
+        L = scene.num_lights
+        animated = int(cfg.render_mode) == 1
+
+        x = hit.pos
+        mat_c = scene.color[hit.idx]
+        mat_nt = jnp.abs(scene.ior[hit.idx])
+        mat_ty = scene.mat_type[hit.idx]
+
+        def light_data(slot):
+            # scene is pre-animated by render_sample, so current positions
+            # are already the getAnimatedPosition values (1645, 1672).
+            li = jnp.maximum(scene.light_idx[slot], 0)
+            return scene.pos[li], scene.color[li] * scene.emission[li]
+
+        # ---- Phase 1: candidate generation (1630-1654) ----
+        res = empty_reservoir(batch)
+        eff = min(cfg.restir_samples, max(4, L))
+        for i in range(eff):
+            r1, r2 = rng.uniform2(pix, pass_idx, sample_idx, depth, i,
+                                  rng.Stream.RESTIR_CANDIDATE)
+            slot = jnp.clip((r1 * L).astype(jnp.int32), 0, L - 1)
+            li = scene.light_idx[slot]
+            lp, lc = light_data(slot)
+            tv = evaluate_target(lp, lc, x, nl, mat_c, mat_nt, mat_ty)
+            tv = jnp.where(li >= 0, tv, 0.0)
+            res = update_reservoir(res, lp, lc, slot, tv, r2)
+
+        # ---- Phase 2: temporal reuse, 2 history levels (1656-1709) ----
+        frame_ok = pass_idx > MAX_TEMPORAL_SAMPLES
+        for level in range(MAX_TEMPORAL_SAMPLES):
+            ju, jv = rng.uniform2(pix, pass_idx, sample_idx, depth, level,
+                                  rng.Stream.RESTIR_TEMPORAL)
+            # ad-hoc motion vector + jitter reprojection (1486-1496)
+            motion_scale = 0.001 * (level + 1)
+            mx = (x[..., 0] - 0.0) * motion_scale
+            my = (x[..., 1] - 0.0) * motion_scale
+            uv_x = (cols.astype(jnp.float32) + 0.5) / width + mx + (ju - 0.5) * 0.002
+            uv_y = (rows.astype(jnp.float32) + 0.5) / height + my + (jv - 0.5) * 0.002
+            in_bounds = (uv_x > 0.01) & (uv_x < 0.99) & (uv_y > 0.01) & (uv_y < 0.99)
+            pr = jnp.clip((uv_y * height).astype(jnp.int32), 0, height - 1)
+            pc = jnp.clip((uv_x * width).astype(jnp.int32), 0, width - 1)
+            h_res, in_band = band_gather(hist[level], pr, pc)
+
+            ok = is_valid_reservoir(h_res, L) & in_bounds & in_band & frame_ok
+            ok &= (h_res["m"] > 0.0) & (h_res["age"] < MAX_RESERVOIR_AGE)
+
+            if animated:
+                # refresh stored light data from current animation (1669-1676)
+                slot_h = jnp.clip(h_res["light_index"], 0, L - 1)
+                lp_now, lc_now = light_data(slot_h)
+                valid_slot = h_res["light_index"] >= 0
+                h_res["light_pos"] = vm.where3(valid_slot, lp_now, h_res["light_pos"])
+                h_res["light_color"] = vm.where3(valid_slot, lc_now, h_res["light_color"])
+
+            h_res["age"] = h_res["age"] + (level + 1.0)
+            alpha = TEMPORAL_ALPHA * (0.80 if level == 1 else 1.0) * \
+                (0.85 if animated else 1.0)
+            h_res["m"] = h_res["m"] * alpha
+            h_res["weight_sum"] = h_res["weight_sum"] * alpha
+
+            t_rand = rng.uniform(pix, pass_idx, sample_idx, depth, level,
+                                 rng.Stream.RESTIR_TEMPORAL, 991)
+            res = combine_reservoirs(res, h_res, x, nl, mat_c, mat_nt, mat_ty,
+                                     t_rand, L, source_ok=ok)
+
+        # post-combine clamp (1705-1708)
+        over = res["m"] > 100.0
+        res["m"] = jnp.where(over, jnp.minimum(res["m"], 80.0), res["m"])
+        res["weight_sum"] = jnp.where(over, res["weight_sum"] * 0.9,
+                                      res["weight_sum"])
+
+        # ---- Phase 3: spatial reuse (1711-1748) ----
+        n_spatial = RESTIR_SPATIAL_SAMPLES
+        if L > 10:
+            n_spatial = max(4, n_spatial // 2)
+        few_frames = pass_idx < 10  # traced; handled via mask below
+        for i in range(n_spatial):
+            s1, s2 = rng.uniform2(pix, pass_idx, sample_idx, depth, i,
+                                  rng.Stream.RESTIR_SPATIAL)
+            dx, dy = POISSON_DISK[i]
+            nr = rows + jnp.int32(round(dy * SPATIAL_RADIUS))
+            ncol = cols + jnp.int32(round(dx * SPATIAL_RADIUS))
+            in_b = (nr >= 0) & (nr < height) & (ncol >= 0) & (ncol < width)
+            nr = jnp.clip(nr, 0, height - 1)
+            ncol = jnp.clip(ncol, 0, width - 1)
+            n_res, in_band = band_gather(back, nr, ncol)
+
+            ok = in_b & in_band & (n_res["m"] > 0.0)
+            # warm-up halving (1721-1723): first frames use every other tap
+            if i >= max(2, n_spatial // 2):
+                ok &= ~few_frames
+            # light-distance rejection (1737-1739)
+            ld = n_res["light_pos"] - x
+            ok &= ~((n_res["light_index"] >= 0) & (vm.vdot(ld, ld) > 225.0))
+            # age + random rejection (1742-1744)
+            age_thr = 2.0 if animated else MAX_RESERVOIR_AGE * 0.8
+            ok &= ~(n_res["age"] > age_thr)
+            ok &= ~(s1 < 0.03)
+
+            res = combine_reservoirs(res, n_res, x, nl, mat_c, mat_nt, mat_ty,
+                                     s2, L, source_ok=ok)
+
+        # ---- Phase 4: finalize + shade (1750-1800) ----
+        visible = is_visible(scene, cfg, x, res["light_pos"], sdf_march)
+        res = finalize_reservoir(res, x, nl, mat_c, mat_nt, mat_ty, visible)
+        res["age"] = jnp.minimum(res["age"], MAX_RESERVOIR_AGE)
+
+        slot_ok = (res["light_index"] >= 0) & (res["light_index"] < L)
+        shade_ok = (res["w"] > 0.0) & slot_ok
+
+        light_contrib = _shade_selected(
+            scene, cfg, res["light_index"], x, nl, pix, pass_idx, sample_idx,
+            depth, sdf_march, int(cfg.render_mode), time_s)
+
+        eff_w = jnp.clip(res["w"], 0.0, 8.0)
+        eff_w = eff_w * jnp.where(res["m"] > 30.0,
+                                  vm.safe_sqrt(30.0 / jnp.maximum(res["m"], 1e-6)),
+                                  1.0)
+        out = light_contrib * eff_w[..., None]
+        # NaN/Inf in any channel kills the whole contribution (1791-1793)
+        all_fin = jnp.all(jnp.isfinite(out), axis=-1, keepdims=True)
+        out = jnp.where(all_fin & shade_ok[..., None], out, 0.0)
+        return out * mask, res
+
+    return sampler
+
+
+def render_sample(scene, cfg, camera, state, height, width, pass_idx,
+                  time_s=0.0):
+    """One ReSTIR-enabled render pass: returns (mean radiance, new back
+    reservoirs) — the MRT outputs of the reference kernel (2171-2179)."""
+    from raytracer0_tpu.render import integrator
+    from raytracer0_tpu.render.renderer import _get_sdf_march
+    from raytracer0_tpu.render.state import Reservoirs
+
+    scene_frame = scene_mod.animate_positions(scene, time_s, int(cfg.render_mode))
+    sdf_march = _get_sdf_march(scene_frame)
+    pix = rng.pixel_ids(height, width)
+    sampler = make_sampler(state, height, width, sdf_march, time_s)
+
+    total = jnp.zeros((height, width, 3), jnp.float32)
+    res_out = None
+    for s in range(cfg.samples_per_pass):
+        ro, rd = generate_rays(camera, height, width, pass_idx, sample_idx=s)
+        rad, res_out = integrator.trace(
+            scene_frame, cfg, ro, rd, pix, pass_idx, s,
+            sdf_march=sdf_march, restir_sampler=sampler)
+        total = total + rad
+    new_back = Reservoirs(**res_out)
+    return total / cfg.samples_per_pass, new_back

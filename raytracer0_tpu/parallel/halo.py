@@ -1,0 +1,114 @@
+"""Halo exchange for ReSTIR spatial reuse across tile shards.
+
+The reference's only cross-pixel communication is ReSTIR's spatial reuse:
+8 Poisson-disk taps within a 16-px radius of each pixel
+(raytracer.glsl:1267-1297, 1725-1748) — free on one GPU, but under row
+sharding a tap can land in a neighbor shard's rows.  The TPU-native
+answer (SURVEY.md §2.5 P6): every shard exchanges `HALO` boundary rows of
+the previous frame's reservoir grid with its up/down neighbors over ICI
+using `jax.lax.ppermute`, then taps index into the padded band.  Edge
+shards pad with empty reservoirs, which the validity gates reject — the
+exact semantics of the reference's screen-border rejection (1474).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from raytracer0_tpu import rng
+from raytracer0_tpu.models import scene as scene_mod
+from raytracer0_tpu.models.camera import generate_rays
+from raytracer0_tpu.ops import restir as restir_ops
+from raytracer0_tpu.parallel.sharding import AXIS
+from raytracer0_tpu.render.state import Reservoirs
+
+#: Halo width in rows = the spatial-reuse radius (SPATIAL_RADIUS = 16 px).
+HALO = 16
+
+
+def exchange_halo_rows(x, halo: int, axis_name: str = AXIS):
+    """Pad a row-sharded [H_local, ...] array with `halo` rows from each
+    neighbor shard: returns [H_local + 2*halo, ...].
+
+    Non-cyclic `ppermute`: shards with no upper/lower neighbor receive
+    zeros (empty reservoirs) in that halo.
+    """
+    n = jax.lax.axis_size(axis_name)
+    if n == 1:
+        zeros = jnp.zeros((halo,) + x.shape[1:], x.dtype)
+        return jnp.concatenate([zeros, x, zeros], axis=0)
+    # my bottom rows -> upper neighbor's top halo is *their* receive of my
+    # rows; equivalently I receive the last rows of shard i-1 above me.
+    from_below = jax.lax.ppermute(x[-halo:], axis_name,
+                                  [(i, i + 1) for i in range(n - 1)])
+    from_above = jax.lax.ppermute(x[:halo], axis_name,
+                                  [(i, i - 1) for i in range(1, n)])
+    return jnp.concatenate([from_below, x, from_above], axis=0)
+
+
+def _pad_tree(tree, halo):
+    return {k: exchange_halo_rows(v, halo) for k, v in tree.items()}
+
+
+def sharded_restir_render_pass(scene, camera, cfg, mesh, state, height, width,
+                               pass_idx=0, time_s=0.0):
+    """One ReSTIR render pass with rows sharded over the mesh and reservoir
+    halos exchanged over ICI.
+
+    Returns (radiance [H, W, 3], new_back Reservoirs), both row-sharded.
+    Row 0 of a shard's band is global row `shard * rows_per`; RNG and
+    raygen use global coordinates, so the result matches the single-chip
+    render wherever taps stay within the halo.
+    """
+    n = mesh.devices.size
+    if height % n:
+        raise ValueError(f"height {height} not divisible by {n}")
+    rows_per = height // n
+    if rows_per < HALO and n > 1:
+        raise ValueError(f"rows/shard {rows_per} < halo {HALO}")
+
+    from raytracer0_tpu.render import integrator
+    from raytracer0_tpu.render.renderer import _get_sdf_march
+
+    scene_frame = scene_mod.animate_positions(scene, time_s, int(cfg.render_mode))
+    sdf_march = _get_sdf_march(scene_frame)
+
+    back = restir_ops._res_tree(state.restir_back)
+    hist1 = restir_ops._res_tree(state.restir_hist1)
+    hist2 = restir_ops._res_tree(state.restir_hist2)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False,
+    )
+    def _pass(scene, camera, back, hist1, hist2):
+        shard = jax.lax.axis_index(AXIS)
+        row0 = (shard * rows_per).astype(jnp.uint32)
+
+        back_p = _pad_tree(back, HALO)
+        hist_p = [_pad_tree(hist1, HALO), _pad_tree(hist2, HALO)]
+
+        sampler = restir_ops.make_sampler_from_trees(
+            back_p, hist_p, height, width, sdf_march, time_s,
+            row0=row0, pad=HALO)
+
+        pix = rng.pixel_ids(rows_per, width, row0=row0)
+        total = jnp.zeros((rows_per, width, 3), jnp.float32)
+        res_out = None
+        for s in range(cfg.samples_per_pass):
+            ro, rd = generate_rays(camera, rows_per, width, pass_idx,
+                                   sample_idx=s, row0=row0, full_height=height)
+            rad, res_out = integrator.trace(
+                scene, cfg, ro, rd, pix, pass_idx, s,
+                sdf_march=sdf_march, restir_sampler=sampler)
+            total = total + rad
+        return total / cfg.samples_per_pass, res_out
+
+    radiance, res_out = _pass(scene_frame, camera, back, hist1, hist2)
+    return radiance, Reservoirs(**res_out)

@@ -91,9 +91,16 @@ def trace(scene, cfg: RenderConfig, ro, rd, pix, pass_idx, sample_idx,
 
     `ro`/`rd`: [..., 3] primary rays; `pix`: uint32 pixel ids matching the
     batch shape.  Returns radiance [..., 3] (already scaled by the hero-
-    wavelength RGB weight when spectral).  `restir_sampler`, when given,
-    replaces per-light NEE on diffuse bounces per the reference's gating
-    (raytracer.glsl:1899-1946).
+    wavelength RGB weight when spectral).
+
+    `restir_sampler`, when given, replaces per-light NEE on diffuse
+    bounces per the reference's gating (raytracer.glsl:1899-1946).  It is
+    called as `sampler(scene, cfg, hit, nl, mask, pix, pass, sample,
+    depth)` and must return `(nee_radiance, reservoir_dict)`; the
+    reservoir of the *last* diffuse bounce per lane is returned alongside
+    the radiance (the reference's g_final_reservoir overwrite semantics,
+    raytracer.glsl:1616, 1757) and trace returns a
+    `(radiance, reservoir_dict)` tuple instead.
     """
     batch = ro.shape[:-1]
     f3 = lambda v: jnp.full(batch + (3,), v, jnp.float32)
@@ -114,6 +121,17 @@ def trace(scene, cfg: RenderConfig, ro, rd, pix, pass_idx, sample_idx,
         n_spec=jnp.zeros(batch, jnp.int32),
         n_scat=jnp.zeros(batch, jnp.int32),
     )
+    want_reservoir = restir_sampler is not None
+    if want_reservoir:
+        carry0["reservoir"] = dict(
+            light_pos=jnp.zeros(batch + (3,), jnp.float32),
+            light_color=jnp.zeros(batch + (3,), jnp.float32),
+            weight_sum=jnp.zeros(batch, jnp.float32),
+            m=jnp.zeros(batch, jnp.float32),
+            w=jnp.zeros(batch, jnp.float32),
+            age=jnp.zeros(batch, jnp.float32),
+            light_index=jnp.full(batch, -1, jnp.int32),
+        )
 
     def body(carry, depth):
         o, d = carry["o"], carry["d"]
@@ -230,8 +248,15 @@ def trace(scene, cfg: RenderConfig, ro, rd, pix, pass_idx, sample_idx,
             if use_restir_here and cfg.use_mis and scene.num_lights <= 8:
                 use_restir_here = False  # stratified gate (1906-1911)
             if use_restir_here:
-                nee = restir_sampler(scene, cfg, hit, new_prev_nl, mask_after,
-                                     pix, pass_idx, sample_idx, depth)
+                nee, res_out = restir_sampler(scene, cfg, hit, new_prev_nl,
+                                              mask_after, pix, pass_idx,
+                                              sample_idx, depth)
+                # last diffuse bounce wins (g_final_reservoir overwrite)
+                new_res = {}
+                for k, v in carry["reservoir"].items():
+                    sel = diffuse_lane[..., None] if res_out[k].ndim > diffuse_lane.ndim else diffuse_lane
+                    new_res[k] = jnp.where(sel, res_out[k], v)
+                carry["reservoir"] = new_res
             else:
                 nee = lighting.sample_lights_nee(
                     scene, cfg, hit.pos, new_prev_nl, mask_after,
@@ -262,6 +287,8 @@ def trace(scene, cfg: RenderConfig, ro, rd, pix, pass_idx, sample_idx,
         out = dict(o=o, d=d, mask=mask, acc=acc, active=active,
                    specular=specular, prev_nl=prev_nl,
                    n_diff=n_diff, n_spec=n_spec, n_scat=n_scat)
+        if want_reservoir:
+            out["reservoir"] = carry["reservoir"]
         return out, None
 
     carry, _ = jax.lax.scan(body, carry0,
@@ -270,4 +297,6 @@ def trace(scene, cfg: RenderConfig, ro, rd, pix, pass_idx, sample_idx,
 
     if cfg.use_spectral:
         radiance = radiance * spectral.wavelength_to_rgb(hero_wl)
+    if want_reservoir:
+        return radiance, carry["reservoir"]
     return radiance

@@ -1,0 +1,138 @@
+"""ReSTIR: reservoir-op invariants + pipeline integration.
+
+ReSTIR has no per-pixel scalar oracle (SURVEY.md §4 — the reference's own
+test harness is its debug grid); correctness here is unit-level invariants
+on the reservoir algebra plus statistical agreement of the final render
+with plain NEE on the same scene.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from raytracer0_tpu.models.presets import restir_demo
+from raytracer0_tpu.ops import restir
+from raytracer0_tpu.render.renderer import Renderer
+from raytracer0_tpu.render.state import RenderState
+
+
+def test_update_reservoir_selects_and_accumulates():
+    b = (4,)
+    r = restir.empty_reservoir(b)
+    lp = jnp.tile(jnp.asarray([1.0, 2.0, 3.0]), (4, 1))
+    lc = jnp.tile(jnp.asarray([5.0, 5.0, 5.0]), (4, 1))
+    w = jnp.asarray([1.0, 0.0, 2.0, 3.0])
+    r = restir.update_reservoir(r, lp, lc, jnp.zeros(b, jnp.int32), w,
+                                jnp.asarray([0.5, 0.5, 0.5, 0.5]))
+    np.testing.assert_allclose(np.asarray(r["weight_sum"]), [1, 0, 2, 3])
+    np.testing.assert_allclose(np.asarray(r["m"]), [1, 0, 1, 1])
+    # first nonzero-weight sample is always selected (prob 1)
+    assert int(r["light_index"][0]) == 0 and int(r["light_index"][1]) == -1
+
+
+def test_update_reservoir_m_overflow_decay():
+    b = (1,)
+    r = restir.empty_reservoir(b)
+    r["m"] = jnp.asarray([60.5])
+    r["weight_sum"] = jnp.asarray([100.0])
+    r2 = restir.update_reservoir(
+        r, jnp.ones((1, 3)), jnp.ones((1, 3)), jnp.zeros(b, jnp.int32),
+        jnp.asarray([1.0]), jnp.asarray([0.99]))
+    # (60.5 + 1) * 0.95, (100 + 1) * 0.95
+    np.testing.assert_allclose(float(r2["m"][0]), 61.5 * 0.95, rtol=1e-6)
+    np.testing.assert_allclose(float(r2["weight_sum"][0]), 101 * 0.95, rtol=1e-6)
+
+
+def test_validity_gates():
+    b = (6,)
+    r = restir.empty_reservoir(b)
+    r["m"] = jnp.asarray([1.0, 0.0, 300.0, 5.0, 5.0, 5.0])
+    r["weight_sum"] = jnp.asarray([1.0, 1.0, 1.0, 0.0, 1.0, 1.0])
+    r["w"] = jnp.asarray([1.0, 1.0, 1.0, 1.0, 25.0, 1.0])
+    r["light_color"] = jnp.tile(jnp.asarray([1.0, 1.0, 1.0]), (6, 1))
+    r["light_pos"] = jnp.tile(jnp.asarray([0.0, 1.0, 0.0]), (6, 1))
+    r["light_index"] = jnp.asarray([0, 0, 0, 0, 0, 0], jnp.int32)
+    ok = np.asarray(restir.is_valid_reservoir(r, 9))
+    assert list(ok) == [True, False, False, False, False, True]
+
+
+def test_combine_caps_m_and_rescales():
+    b = (1,)
+    t = restir.empty_reservoir(b)
+    t["m"] = jnp.asarray([30.0])
+    t["weight_sum"] = jnp.asarray([10.0])
+    s = restir.empty_reservoir(b)
+    s["m"] = jnp.asarray([30.0])
+    s["weight_sum"] = jnp.asarray([10.0])
+    s["w"] = jnp.asarray([1.0])
+    s["age"] = jnp.asarray([1.0])
+    s["light_pos"] = jnp.asarray([[0.0, 1.0, 0.0]])
+    s["light_color"] = jnp.asarray([[4.0, 4.0, 4.0]])
+    s["light_index"] = jnp.asarray([0], jnp.int32)
+    hit = jnp.asarray([[0.0, 0.0, 0.0]])
+    n = jnp.asarray([[0.0, 1.0, 0.0]])
+    out = restir.combine_reservoirs(
+        t, s, hit, n, jnp.asarray([[0.8, 0.8, 0.8]]), jnp.zeros(1),
+        jnp.asarray([2], jnp.int32), jnp.asarray([0.5]), 9)
+    assert float(out["m"][0]) <= 40.0 + 1e-5
+    assert np.isfinite(float(out["weight_sum"][0]))
+
+
+def test_target_function_material_awareness():
+    hit = jnp.zeros((3, 3))
+    n = jnp.tile(jnp.asarray([0.0, 1.0, 0.0]), (3, 1))
+    lp = jnp.tile(jnp.asarray([0.0, 2.0, 0.0]), (3, 1))
+    lc = jnp.tile(jnp.asarray([4.0, 4.0, 4.0]), (3, 1))
+    c = jnp.tile(jnp.asarray([0.8, 0.8, 0.8]), (3, 1))
+    nt = jnp.asarray([0.0, 1.53, 1.4])
+    ty = jnp.asarray([2, 4, 6], jnp.int32)  # DIFF, REFR_FRESNEL, COAT
+    p = np.asarray(restir.evaluate_target(lp, lc, hit, n, c, nt, ty))
+    assert np.all(p > 0)
+    assert p[1] < p[0]  # glass weighted by R0 ≈ 0.044 < albedo lum
+
+
+def test_restir_render_pipeline():
+    """Preset 5 renders with ReSTIR end-to-end: reservoirs populate, image
+    statistically matches plain per-light NEE on the same scene."""
+    scene, cam, cfg = restir_demo()
+    cfg = cfg.replace(max_bounces=3, restir_samples=8, marching_steps=32)
+    H = W = 32
+
+    r = Renderer(scene, cam, cfg, H, W)
+    for _ in range(6):
+        r.step()
+    img_restir = np.asarray(r.state.accum) / 6
+    res = r.state.restir_back
+    assert np.isfinite(img_restir).all()
+    assert float(jnp.max(res.m)) > 0.0           # reservoirs populated
+    assert float(jnp.max(res.w)) <= 12.0 + 1e-5  # W clamp held
+    assert float(jnp.min(res.age)) >= 0.0
+    # some pixels selected a light
+    assert int((np.asarray(res.light_index) >= 0).sum()) > 10
+
+    cfg_nee = cfg.replace(use_restir=False)
+    r2 = Renderer(scene, cam, cfg_nee, H, W)
+    for _ in range(6):
+        r2.step()
+    img_nee = np.asarray(r2.state.accum) / 6
+
+    # Means within 35% (ReSTIR is biased + few passes; this catches
+    # catastrophic scaling errors, not noise).
+    m1, m2 = img_restir.mean(), img_nee.mean()
+    assert m2 > 0.003  # tiny lights (r=0.03) make a dim scene
+    # The reference's RIS weights omit the 1/L uniform-candidate pdf
+    # (raytracer.glsl:1652: weight = p̂, not L·p̂), so its ReSTIR estimates
+    # the *mean* per-light contribution; temporal+spatial W growth then
+    # recovers part of the scale.  We reproduce that estimator faithfully,
+    # so ReSTIR sits between sum/L and the full NEE sum (L=9 here).
+    assert 1.0 / 9.0 < m1 / m2 < 2.0, (m1, m2)
+
+
+def test_restir_state_rotation():
+    scene, cam, cfg = restir_demo()
+    cfg = cfg.replace(max_bounces=2, restir_samples=4, marching_steps=16)
+    r = Renderer(scene, cam, cfg, 16, 16)
+    r.step()
+    first_back = np.asarray(r.state.restir_back.m).copy()
+    r.step()
+    # previous back is now hist1
+    np.testing.assert_array_equal(np.asarray(r.state.restir_hist1.m), first_back)

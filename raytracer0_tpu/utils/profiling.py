@@ -1,0 +1,85 @@
+"""Profiling and metrics: rays/s counters, stage timers, trace capture.
+
+The reference's observability is a stats.js FPS panel and console logs
+(SURVEY.md §5).  TPU equivalents here:
+
+* `RenderTimer` — wall-clock per-pass timing with rays/s derived from the
+  static work budget (pixels x spp x bounce slots, the number of traced
+  wavefront segments actually paid for);
+* `profile_trace` — context manager around `jax.profiler.trace` for
+  XProf/TensorBoard captures;
+* `StageTimer` — named host-side stage timings (compile vs steady-state).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+
+
+@dataclass
+class RenderTimer:
+    height: int
+    width: int
+    spp: int
+    bounces: int
+    passes: int = 0
+    total_s: float = 0.0
+    _t0: Optional[float] = None
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.total_s += time.perf_counter() - self._t0
+        self.passes += 1
+
+    @property
+    def rays_per_pass(self) -> int:
+        return self.height * self.width * self.spp * self.bounces
+
+    @property
+    def rays_per_s(self) -> float:
+        if self.total_s == 0:
+            return 0.0
+        return self.rays_per_pass * self.passes / self.total_s
+
+    def report(self) -> dict:
+        return {
+            "passes": self.passes,
+            "total_s": round(self.total_s, 4),
+            "rays_per_s": round(self.rays_per_s),
+            "ms_per_pass": round(1e3 * self.total_s / max(self.passes, 1), 3),
+        }
+
+
+@dataclass
+class StageTimer:
+    stages: dict = field(default_factory=dict)
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.stages[name] = self.stages.get(name, 0.0) + time.perf_counter() - t0
+
+    def report(self) -> str:
+        return json.dumps({k: round(v, 4) for k, v in self.stages.items()})
+
+
+@contextlib.contextmanager
+def profile_trace(logdir: str):
+    """Capture a device trace viewable in TensorBoard/XProf."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

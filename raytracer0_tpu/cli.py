@@ -44,6 +44,9 @@ def _build(args):
         camera = Camera.make()
         cfg = OFFLINE_CONFIG.replace(**overrides)
     else:
+        if args.preset not in PRESETS:
+            sys.exit(f"error: unknown preset {args.preset!r}; "
+                     f"available: {', '.join(PRESETS)}")
         scene, camera, cfg = PRESETS[args.preset](**overrides)
     return scene, camera, cfg
 

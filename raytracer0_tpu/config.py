@@ -90,6 +90,11 @@ class RenderConfig:
     # Samples traced per pixel per render pass (the reference always traces
     # 1 spp per frame, index.js:230); >1 batches the sample axis on device.
     samples_per_pass: int = 1
+    # Rematerialize each bounce in the backward sweep (recompute instead
+    # of storing per-bounce activations) — trades FLOPs for HBM traffic.
+    remat_bounces: bool = True
+    # lax.scan unroll factor for the bounce loop (1 = no unroll).
+    scan_unroll: int = 1
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

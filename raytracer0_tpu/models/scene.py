@@ -68,6 +68,20 @@ class Scene:
     # dropdown compiles shape choice into the kernel, index.html:703-717;
     # here it specializes the traced program the same way).
     sdf_shapes_static: tuple = struct.field(pytree_node=False, default=())
+    # Static per-primitive-type row indices (the scene's type layout is
+    # build-time data, like the reference's U_SPHERE/U_PLANE/U_BOX consts):
+    # lets the intersector evaluate each formula only over rows of its
+    # type instead of masking the full mesh array.
+    sphere_rows: tuple = struct.field(pytree_node=False, default=())
+    plane_rows: tuple = struct.field(pytree_node=False, default=())
+    box_rows: tuple = struct.field(pytree_node=False, default=())
+    # Full static structure mirrors (types and light slots are build-time
+    # facts; values like positions/colors stay traced/differentiable).
+    # These let specialized kernels (ops.megakernel) resolve all dispatch
+    # at trace time, like the reference's generated constant arrays.
+    mesh_types_static: tuple = struct.field(pytree_node=False, default=())
+    mat_types_static: tuple = struct.field(pytree_node=False, default=())
+    lights_static: tuple = struct.field(pytree_node=False, default=())
 
     @property
     def num_meshes(self) -> int:
@@ -198,6 +212,15 @@ class SceneBuilder:
             use_box=int(MeshType.BOX) in types_present,
             tex_types_used=tuple(sorted({int(t) for t in tex_type if t != int(TexType.NONE)})),
             sdf_shapes_static=tuple(int(r["sdf_shape"]) for r in self._sdf_rows),
+            sphere_rows=tuple(int(i) for i in np.nonzero(
+                mesh_type == int(MeshType.SPHERE))[0]),
+            plane_rows=tuple(int(i) for i in np.nonzero(
+                mesh_type == int(MeshType.PLANE))[0]),
+            box_rows=tuple(int(i) for i in np.nonzero(
+                mesh_type == int(MeshType.BOX))[0]),
+            mesh_types_static=tuple(int(t) for t in mesh_type),
+            mat_types_static=tuple(int(t) for t in mat_type),
+            lights_static=tuple(int(i) for i in lights),
         )
 
 

@@ -71,8 +71,10 @@ def direct_light_slot(scene, cfg, slot, x, nl, pix, pass_idx, sample_idx, depth,
              vm.where3(is_sdf, dir_sdf, dir_directional))
 
     # One shadow re-trace for whichever branch was selected (1193/1211/1222).
+    # Shadow rays never consume the hit normal (contribution uses sr_dir).
     sr_o = x + nl * cfg.epsilon
-    hit = isect.intersect(scene, sr_o, sr_dir, cfg, sdf_march=sdf_march)
+    hit = isect.intersect(scene, sr_o, sr_dir, cfg, sdf_march=sdf_march,
+                          need_normal=False)
 
     hit_mat = scene.mat_type[hit.idx]
     hit_c = scene.color[hit.idx]
@@ -81,8 +83,11 @@ def direct_light_slot(scene, cfg, slot, x, nl, pix, pass_idx, sample_idx, depth,
 
     # The reference blends the hit mesh's color with its texel by texel
     # alpha, unconditionally (raytracer.glsl:1203).
-    texel = tex.get_texel(scene, hit.idx, hit.uv, hit.pos)
-    lit_c = jnp.maximum(vm.mix(hit_c, texel[..., :3], texel[..., 3:4]), 0.001)
+    if scene.tex_types_used:
+        texel = tex.get_texel(scene, hit.idx, hit.uv, hit.pos)
+        lit_c = jnp.maximum(vm.mix(hit_c, texel[..., :3], texel[..., 3:4]), 0.001)
+    else:
+        lit_c = jnp.maximum(hit_c, 0.001)
 
     cos_term = jnp.maximum(0.001, vm.vdot(sr_dir, nl))
 

@@ -1,0 +1,650 @@
+"""Pallas megakernel: the entire bounce loop in one fused TPU kernel.
+
+The XLA wavefront integrator round-trips per-pixel state through HBM at
+every fusion boundary (~5 ms/bounce at 512² on v5e).  This kernel keeps
+ALL per-lane path state — ray, throughput, accumulator, counters — in
+VMEM/registers for the whole `max_bounces` loop: HBM traffic collapses
+to reading the primary rays once and writing radiance once.  It is the
+speed-of-light realization of the reference's GLSL megakernel
+(raytracer.glsl:1986-2105) for the analytic scene class.
+
+Layout: pure SoA — every quantity is a `[BLOCK_ROWS, W]` f32/i32/u32
+block, vectors are python triples of blocks (VPU-native; no trailing
+length-3 axis).  Scene parameters live in SMEM as small tables; all
+type dispatch (primitive type, material type, light slots) is resolved
+at trace time from the scene's static structure, exactly like the
+reference's codegen constant folding.
+
+Coverage (static preconditions, `supported()`): analytic primitives,
+DIFF/SPEC/REFR/COAT, NEE + MIS, procedural sky — i.e. BASELINE configs
+1-2.  SDF/textures/ReSTIR/volumetrics/spectral take the general XLA
+path.  RNG is the same counter hash, so this kernel is *bit-compatible*
+with `integrator.trace` and validated against it per-pixel.
+
+Gradients: `trace_forward` carries a `jax.custom_vjp` whose backward
+replays the jnp integrator under AD — forward/serving gets the fused
+kernel, training keeps exact XLA gradients.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracer0_tpu import rng as rng_mod
+from raytracer0_tpu.config import RenderConfig, RenderMode, TonemapOp
+from raytracer0_tpu.models.materials import MatType, MeshType
+
+BLOCK_ROWS = 8
+BLOCK_COLS = 128
+
+PI = 3.14159265
+TWO_PI = 6.28318531
+ONE_OVER_PI = 0.31830989
+FOUR_PI = 12.5663706
+IOR_AIR = 1.00029
+
+_M1 = np.uint32(747796405)
+_A1 = np.uint32(2891336453)
+_M2 = np.uint32(277803737)
+_CK = rng_mod._CK
+_SEED0 = np.uint32(0x5BD1E995)
+_INV = np.float32(1.0 / (1 << 24))
+
+
+# ----------------------------------------------------------------------
+# in-kernel counter RNG (bit-identical to rng.py)
+# ----------------------------------------------------------------------
+
+def _pcg(x):
+    x = x * _M1 + _A1
+    x = ((x >> ((x >> np.uint32(28)) + np.uint32(4))) ^ x) * _M2
+    return (x >> np.uint32(22)) ^ x
+
+
+def _fold(*coords):
+    h = jnp.uint32(_SEED0)
+    for i, c in enumerate(coords):
+        c = c.astype(jnp.uint32) if hasattr(c, "astype") else jnp.uint32(np.uint32(c))
+        h = _pcg(h + c * _CK[i % len(_CK)] + np.uint32(i))
+    return h
+
+
+def _u01(h):
+    # Mosaic lacks a direct u32->f32 cast; the top-24-bit value fits in
+    # int32, so round-trip through it (bit-exact with rng.uniform_from_bits).
+    return (h >> np.uint32(8)).astype(jnp.int32).astype(jnp.float32) * _INV
+
+
+def _uniform(*coords):
+    return _u01(_fold(*coords))
+
+
+def _uniform2(*coords):
+    h = _fold(*coords)
+    return _u01(h), _u01(_pcg(h))
+
+
+# ----------------------------------------------------------------------
+# component-tuple vector helpers ([R, W] blocks)
+# ----------------------------------------------------------------------
+
+def _dot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _add(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def _sub(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def _mul(a, b):
+    return (a[0] * b[0], a[1] * b[1], a[2] * b[2])
+
+
+def _scale(a, s):
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def _where3(c, a, b):
+    return (jnp.where(c, a[0], b[0]), jnp.where(c, a[1], b[1]),
+            jnp.where(c, a[2], b[2]))
+
+
+def _safe_sqrt(x):
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
+def _normalize(a):
+    inv = jax.lax.rsqrt(jnp.maximum(_dot(a, a), 1e-12))
+    return _scale(a, inv)
+
+
+def _reflect(d, n):
+    k = 2.0 * _dot(d, n)
+    return (d[0] - k * n[0], d[1] - k * n[1], d[2] - k * n[2])
+
+
+def _onb(n):
+    """Duff et al. branch-free ONB (vecmath.onb semantics)."""
+    sig = jnp.where(n[2] < 0.0, -1.0, 1.0)
+    denom = sig + n[2]
+    a = -1.0 / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    b = n[0] * n[1] * a
+    u = (1.0 + sig * n[0] * n[0] * a, sig * b, -sig * n[0])
+    v = (b, sig + n[1] * n[1] * a, -n[1])
+    degen = jnp.abs(n[2]) > 0.99999
+    zeros = jnp.zeros_like(n[0])
+    u = _where3(degen, (jnp.ones_like(n[0]), zeros, zeros), u)
+    v = _where3(degen, (zeros, sig, zeros), v)
+    return u, v
+
+
+def _sample_biased(w, u1, u2):
+    """Cosine-weighted hemisphere (sampling.sample_biased, power=1)."""
+    u, v = _onb(w)
+    ang = u1 * TWO_PI
+    r_y = jnp.sqrt(jnp.maximum(u2, 1e-12))  # u2 ** (1/2)
+    om = _safe_sqrt(1.0 - r_y * r_y)
+    ca, sa = jnp.cos(ang) * om, jnp.sin(ang) * om
+    return _normalize((ca * u[0] + sa * v[0] + r_y * w[0],
+                       ca * u[1] + sa * v[1] + r_y * w[1],
+                       ca * u[2] + sa * v[2] + r_y * w[2]))
+
+
+def _sample_cone(w, extent, u1, u2):
+    u, v = _onb(w)
+    ang = u1 * TWO_PI
+    r_y = 1.0 - u2 * extent
+    om = _safe_sqrt(1.0 - r_y * r_y)
+    ca, sa = jnp.cos(ang) * om, jnp.sin(ang) * om
+    return _normalize((ca * u[0] + sa * v[0] + r_y * w[0],
+                       ca * u[1] + sa * v[1] + r_y * w[1],
+                       ca * u[2] + sa * v[2] + r_y * w[2]))
+
+
+def _power_heuristic(f, g):
+    f2 = f * f
+    g2 = g * g
+    denom = f2 + g2
+    return jnp.where(denom > 0.0, jnp.maximum(f2, 0.0) /
+                     jnp.maximum(denom, 1e-12), 0.0)
+
+
+def supported(scene, cfg: RenderConfig) -> bool:
+    """Static feature test: can the megakernel render this (scene, cfg)?"""
+    return (
+        scene.num_sdfs == 0
+        and not scene.tex_types_used
+        and not cfg.use_restir
+        and not cfg.use_volumetrics
+        and not cfg.use_spectral
+        and not cfg.use_cubemap
+        and cfg.use_biased_sampling
+        and int(cfg.render_mode) == int(RenderMode.STATIC)
+        and all(t in (int(MeshType.SPHERE), int(MeshType.PLANE),
+                      int(MeshType.BOX)) for t in scene.mesh_types_static)
+    )
+
+
+# Packed f32 scene table columns.
+_C_PX, _C_PY, _C_PZ, _C_J0, _C_CR, _C_CG, _C_CB, _C_ER, _C_EG, _C_EB, _C_NT = range(11)
+
+
+def _kernel_body(scene_meta, cfg: RenderConfig, width, ft_ref, pp_ref,
+                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, pix_ref,
+                 r_ref, g_ref, b_ref):
+    import os
+    _dbg = int(os.environ.get("RT0_MK_DEBUG", "99"))
+    mesh_types, mat_types, lights = scene_meta
+    n_mesh = len(mesh_types)
+    eps = cfg.epsilon
+    inf = cfg.infinity
+
+    pass_u = pp_ref[0, 0].astype(jnp.uint32)
+    samp_u = pp_ref[0, 1].astype(jnp.uint32)
+    pix = pix_ref[:]
+
+    def mesh_p(i):
+        return (ft_ref[i, _C_PX], ft_ref[i, _C_PY], ft_ref[i, _C_PZ])
+
+    def mesh_c(i):
+        return (ft_ref[i, _C_CR], ft_ref[i, _C_CG], ft_ref[i, _C_CB])
+
+    def mesh_e(i):
+        return (ft_ref[i, _C_ER], ft_ref[i, _C_EG], ft_ref[i, _C_EB])
+
+    # ---- intersection over static mesh list (analytic_min semantics) ----
+    def intersect(o, d):
+        tmin = jnp.full_like(o[0], jnp.inf)
+        idx = jnp.zeros_like(o[0], jnp.int32)
+        for i in range(n_mesh):
+            mt = mesh_types[i]
+            p = mesh_p(i)
+            j0 = ft_ref[i, _C_J0]
+            if mt == int(MeshType.SPHERE):
+                oc = _sub(o, p)
+                bq = _dot(oc, d)
+                cq = _dot(oc, oc) - j0 * j0
+                disc = bq * bq - cq
+                sq = _safe_sqrt(disc)
+                t0 = -bq - sq
+                t1 = -bq + sq
+                t = jnp.where(t0 > eps, t0, t1)
+                valid = (disc > 0.0) & (t > eps)
+            elif mt == int(MeshType.PLANE):
+                denom = _dot(p, d)
+                dmag = jnp.where(jnp.abs(denom) < 1e-12,
+                                 jnp.where(denom < 0, -1e-12, 1e-12), denom)
+                t = (-j0 - _dot(p, o)) / dmag
+                valid = (t > eps) & (jnp.abs(denom) > 1e-12)
+            else:  # BOX
+                half = j0 * 0.5
+                tn = jnp.full_like(o[0], -jnp.inf)
+                tf = jnp.full_like(o[0], jnp.inf)
+                for c in range(3):
+                    dc = d[c]
+                    dmag = jnp.where(jnp.abs(dc) < 1e-12,
+                                     jnp.where(dc < 0, -1e-12, 1e-12), dc)
+                    m = 1.0 / dmag
+                    nv = m * (p[c] - o[c])
+                    k = jnp.abs(m) * half
+                    tn = jnp.maximum(tn, nv - k)
+                    tf = jnp.minimum(tf, nv + k)
+                t = jnp.where(tn > 0.0, tn, tf)
+                valid = (tn <= tf) & (tf >= 0.0) & (t > eps)
+            # degenerate skip is static here: joker0 == 0 rows are data,
+            # keep the runtime guard for parity
+            valid = valid & (j0 != 0.0)
+            closer = valid & (t < tmin)
+            tmin = jnp.where(closer, t, tmin)
+            idx = jnp.where(closer, i, idx)
+        return tmin, idx
+
+    def select_mesh_params(idx):
+        """Per-lane winner params via select-sum over the static mesh list."""
+        zeros = jnp.zeros_like(idx, jnp.float32)
+        px = py = pz = j0 = cr = cg = cb = er = eg = eb = nt = zeros
+        for i in range(n_mesh):
+            m = idx == i
+            px = jnp.where(m, ft_ref[i, _C_PX], px)
+            py = jnp.where(m, ft_ref[i, _C_PY], py)
+            pz = jnp.where(m, ft_ref[i, _C_PZ], pz)
+            j0 = jnp.where(m, ft_ref[i, _C_J0], j0)
+            cr = jnp.where(m, ft_ref[i, _C_CR], cr)
+            cg = jnp.where(m, ft_ref[i, _C_CG], cg)
+            cb = jnp.where(m, ft_ref[i, _C_CB], cb)
+            er = jnp.where(m, ft_ref[i, _C_ER], er)
+            eg = jnp.where(m, ft_ref[i, _C_EG], eg)
+            eb = jnp.where(m, ft_ref[i, _C_EB], eb)
+            nt = jnp.where(m, ft_ref[i, _C_NT], nt)
+        return (px, py, pz), j0, (cr, cg, cb), (er, eg, eb), nt
+
+    def lane_mask(idx, pred):
+        """OR of (idx == i) over static rows i satisfying pred(i)."""
+        m = jnp.zeros_like(idx, bool)
+        for i in range(n_mesh):
+            if pred(i):
+                m = m | (idx == i)
+        return m
+
+    def sphere_light_pdf(cx, cy, cz, radius, x):
+        dv = (cx - x[0], cy - x[1], cz - x[2])
+        d2 = _dot(dv, dv)
+        r2 = radius * radius
+        inside = d2 <= r2
+        ratio = r2 / jnp.maximum(d2, 1e-12)
+        cos_max = _safe_sqrt(1.0 - jnp.minimum(ratio, 1.0))
+        # parity with sampling.sphere_light_pdf (safe_div then sqrt of
+        # possibly-negative -> 0 handled by _safe_sqrt)
+        denom = 1.0 - cos_max
+        degenerate = denom < 1e-6
+        pdf = 1.0 / jnp.maximum(TWO_PI * denom, 1e-12)
+        return jnp.where(inside | degenerate, 0.0, pdf)
+
+    def shade_nee(x, nl, depth):
+        """Per-light NEE + MIS (lighting.sample_lights_nee semantics)."""
+        total = (jnp.zeros_like(x[0]),) * 3
+        tr, tg, tb = total
+        for slot, li in enumerate(lights):
+            if li < 0:
+                continue
+            l_mat = mat_types[li]
+            l_mesh = mesh_types[li]
+            lp = mesh_p(li)
+            j0 = ft_ref[li, _C_J0]
+            u1, u2 = _uniform2(pix, pass_u, samp_u, depth, np.uint32(slot),
+                               np.uint32(rng_mod.Stream.NEE_CONE))
+            if l_mat == int(MatType.LIGHT) and l_mesh == int(MeshType.SPHERE):
+                sw = _sub(lp, x)
+                d2 = _dot(sw, sw)
+                r2 = j0 * j0
+                ratio = jnp.clip(r2 / jnp.maximum(d2, 1e-12), 0.0, 1.0)
+                cos_a_max = _safe_sqrt(1.0 - ratio)
+                sr = _sample_cone(_normalize(sw), 1.0 - cos_a_max, u1, u2)
+                so = _add(x, _scale(nl, eps))
+                ts, hidx = intersect(so, sr)
+                hit_light = lane_mask(hidx, lambda i: mat_types[i] == int(MatType.LIGHT)) \
+                    & (ts < 1e30)
+                _, _, hc, he, _ = select_mesh_params(hidx)
+                lit = (jnp.maximum(hc[0], 0.001), jnp.maximum(hc[1], 0.001),
+                       jnp.maximum(hc[2], 0.001))
+                cos_term = jnp.maximum(0.001, _dot(sr, nl))
+                weight = 2.0 * (1.0 - cos_a_max)
+                contrib = _scale(_mul(lit, he), weight * cos_term)
+                contrib = _where3(hit_light, contrib, (0.0 * tr,) * 3)
+                if cfg.use_mis:
+                    has_e = _dot(contrib, contrib) > 1e-6
+                    l_pdf = sphere_light_pdf(lp[0], lp[1], lp[2], j0, x)
+                    ldir = _normalize(sw)
+                    b_pdf = jnp.maximum(0.0, _dot(ldir, nl)) * ONE_OVER_PI
+                    wgt = _power_heuristic(l_pdf, b_pdf)
+                    contrib = _where3(has_e, _scale(contrib, wgt), (0.0 * tr,) * 3)
+                tr = tr + contrib[0]
+                tg = tg + contrib[1]
+                tb = tb + contrib[2]
+            # (SDF/DIR light slots don't occur in megakernel scenes)
+        return (tr, tg, tb)
+
+    # ---- main bounce loop ----
+    o = (ox_ref[:], oy_ref[:], oz_ref[:])
+    d = (dx_ref[:], dy_ref[:], dz_ref[:])
+    zeros = jnp.zeros_like(o[0])
+    ones = jnp.ones_like(o[0])
+
+    def body(depth, carry):
+        (ox_, oy_, oz_, dx_, dy_, dz_, mr, mg, mb, ar, ag, ab,
+         active_i, specular_i, pnx, pny, pnz, ndif, nspec, nscat) = carry
+        # bool vectors are carried as int32 (Mosaic rejects loop-carried i1)
+        active = active_i > 0
+        specular = specular_i > 0
+        o = (ox_, oy_, oz_)
+        d = (dx_, dy_, dz_)
+        mask = (mr, mg, mb)
+        acc = (ar, ag, ab)
+        prev_nl = (pnx, pny, pnz)
+        depth_u = depth.astype(jnp.uint32)
+
+        tmin, idx = intersect(o, d)
+        missed_now = tmin > 1e30
+        t_eff = jnp.where(missed_now, inf, tmin)
+        surface = active & ~missed_now
+
+        # ---- miss: sky (NEE-suppressed for non-specular paths) ----
+        missed = active & missed_now
+        if cfg.sample_lights:
+            env_allowed = specular
+        else:
+            env_allowed = jnp.ones_like(specular)
+        if cfg.use_procedural_sky:
+            hsky = jnp.clip(d[1] * 0.6 + 0.5, 0.3, 1.0)
+            sky = (0.5 + 0.5 * jnp.cos(TWO_PI * (0.525 + 0.9 * hsky)),
+                   0.5 + 0.5 * jnp.cos(TWO_PI * (0.408 + 0.97 * hsky)),
+                   0.5 + 0.5 * jnp.cos(TWO_PI * (0.409 + 0.8 * hsky)))
+            env_gate = missed & env_allowed
+            acc = (acc[0] + jnp.where(env_gate, mask[0] * sky[0], 0.0),
+                   acc[1] + jnp.where(env_gate, mask[1] * sky[1], 0.0),
+                   acc[2] + jnp.where(env_gate, mask[2] * sky[2], 0.0))
+        active = active & ~missed
+
+        if _dbg < 2:
+            return (o[0], o[1], o[2], d[0], d[1], d[2],
+                    mask[0], mask[1], mask[2],
+                    acc[0] + t_eff * 1e-4, acc[1], acc[2],
+                    jnp.where(active, 1, 0), jnp.where(specular, 1, 0),
+                    prev_nl[0], prev_nl[1], prev_nl[2], ndif, nspec, nscat)
+
+        hit_pos = _add(o, _scale(d, t_eff))
+        w_pos, w_j0, w_c, w_e, w_nt = select_mesh_params(idx)
+
+        # normal per winner type (static masks)
+        is_sph = lane_mask(idx, lambda i: mesh_types[i] == int(MeshType.SPHERE))
+        is_pln = lane_mask(idx, lambda i: mesh_types[i] == int(MeshType.PLANE))
+        n_sph = _normalize(_sub(hit_pos, w_pos))
+        n_pln = _normalize(w_pos)
+        hp = _sub(hit_pos, w_pos)
+        half = w_j0 * 0.5
+        dbx = jnp.abs(hp[0]) - half
+        dby = jnp.abs(hp[1]) - half
+        dbz = jnp.abs(hp[2]) - half
+        sx = jnp.where((dbx >= dby) & (dbx >= dbz), jnp.sign(hp[0]), 0.0)
+        sy = jnp.where((dby >= dbz) & (dby >= dbx), jnp.sign(hp[1]), 0.0)
+        sz = jnp.where((dbz >= dbx) & (dbz >= dby), jnp.sign(hp[2]), 0.0)
+        n_box = _normalize((sx, sy, sz))
+        n = _where3(is_sph, n_sph, _where3(is_pln, n_pln, n_box))
+
+        c = (jnp.maximum(w_c[0], 0.001), jnp.maximum(w_c[1], 0.001),
+             jnp.maximum(w_c[2], 0.001))
+        e = (jnp.maximum(w_e[0], 0.001), jnp.maximum(w_e[1], 0.001),
+             jnp.maximum(w_e[2], 0.001))
+
+        inside = -jnp.sign(_dot(d, n))
+        inside = jnp.where(inside == 0.0, 1.0, inside)
+        if _dbg < 3:
+            return (o[0], o[1], o[2], d[0], d[1], d[2],
+                    mask[0], mask[1], mask[2],
+                    acc[0] + n[0] * 1e-4 + c[0] * 1e-4, acc[1], acc[2],
+                    jnp.where(active, 1, 0), jnp.where(specular, 1, 0),
+                    n[0], n[1], n[2], ndif, nspec, nscat)
+
+        # ---- emissive termination + MIS (2079-2090) ----
+        is_light = surface & lane_mask(
+            idx, lambda i: mat_types[i] == int(MatType.LIGHT))
+        if cfg.use_mis and cfg.sample_lights:
+            ldir = _normalize(_sub(hit_pos, o))
+            l_pdf = sphere_light_pdf(w_pos[0], w_pos[1], w_pos[2], w_j0, o)
+            l_pdf = jnp.where(is_sph, l_pdf, 1.0 / FOUR_PI)
+            b_pdf = jnp.maximum(0.0, _dot(ldir, prev_nl)) * ONE_OVER_PI
+            mis_w = _power_heuristic(b_pdf, l_pdf)
+            mis_w = jnp.where(~specular & (depth > 0), mis_w, 1.0)
+        else:
+            mis_w = ones
+        lgate = is_light
+        acc = (acc[0] + jnp.where(lgate, mask[0] * c[0] * e[0] * mis_w, 0.0),
+               acc[1] + jnp.where(lgate, mask[1] * c[1] * e[1] * mis_w, 0.0),
+               acc[2] + jnp.where(lgate, mask[2] * c[2] * e[2] * mis_w, 0.0))
+        active = active & ~is_light
+        surface = surface & ~is_light
+        # DIR_LIGHT-material surfaces terminate
+        is_dirl = surface & lane_mask(
+            idx, lambda i: mat_types[i] == int(MatType.DIR_LIGHT))
+        active = active & ~is_dirl
+        surface = surface & ~is_dirl
+
+        if _dbg < 4:
+            return (o[0], o[1], o[2], d[0], d[1], d[2],
+                    mask[0], mask[1], mask[2], acc[0], acc[1], acc[2],
+                    jnp.where(active, 1, 0), jnp.where(specular, 1, 0),
+                    prev_nl[0], prev_nl[1], prev_nl[2], ndif, nspec, nscat)
+
+        # ---- brdf (1804-1884) ----
+        nl = _scale(n, inside)
+        u1, u2 = _uniform2(pix, pass_u, samp_u, depth_u,
+                           np.uint32(rng_mod.Stream.BSDF_DIR))
+        uc = _uniform(pix, pass_u, samp_u, depth_u,
+                      np.uint32(rng_mod.Stream.BSDF_CHOICE))
+        rand_dir = _sample_biased(nl, u1, u2)
+        rough = _mul(e, rand_dir)
+
+        nt_eff = jnp.maximum(jnp.abs(w_nt), 1e-3)
+        refl = _normalize(_add(rough, _reflect(d, nl)))
+
+        entering = inside > 0.0
+        nnt = jnp.where(entering, IOR_AIR / nt_eff, nt_eff / IOR_AIR)
+        cos_i = _dot(d, nl)
+        kk = 1.0 - nnt * nnt * (1.0 - cos_i * cos_i)
+        tir = kk < 0.0
+        sqk = _safe_sqrt(kk)
+        tdir_raw = (nnt * d[0] - (nnt * cos_i + sqk) * nl[0],
+                    nnt * d[1] - (nnt * cos_i + sqk) * nl[1],
+                    nnt * d[2] - (nnt * cos_i + sqk) * nl[2])
+        tdir_raw = _where3(tir, (zeros, zeros, zeros), tdir_raw)
+        tdir = _normalize(_add(rough, tdir_raw))
+
+        r0 = ((IOR_AIR - nt_eff) / (IOR_AIR + nt_eff)) ** 2
+        csl = jnp.clip(1.0 + _dot(nl, d), 0.0, 1.0)
+        re_schlick = r0 + (1.0 - r0) * csl ** 5
+        cos_t2 = _dot(nl, tdir)
+        rs_den = IOR_AIR * cos_i + nt_eff * cos_t2
+        rp_den = IOR_AIR * cos_t2 + nt_eff * cos_i
+        rs = ((IOR_AIR * cos_i - nt_eff * cos_t2)
+              / jnp.where(jnp.abs(rs_den) < 1e-12, 1e-12, rs_den)) ** 2
+        rp = ((IOR_AIR * cos_t2 - nt_eff * cos_i)
+              / jnp.where(jnp.abs(rp_den) < 1e-12, 1e-12, rp_den)) ** 2
+        re_fresnel = jnp.clip((rs + rp) * 0.5, 0.0, 1.0)
+
+        is_diff = lane_mask(idx, lambda i: mat_types[i] == int(MatType.DIFF))
+        is_spec = lane_mask(idx, lambda i: mat_types[i] == int(MatType.SPEC))
+        is_refr_f = lane_mask(idx, lambda i: mat_types[i] == int(MatType.REFR_FRESNEL))
+        is_refr_s = lane_mask(idx, lambda i: mat_types[i] == int(MatType.REFR_SCHLICK))
+        is_refr = is_refr_f | is_refr_s
+        is_coat = lane_mask(idx, lambda i: mat_types[i] == int(MatType.COAT))
+
+        re = jnp.where(is_refr_f, re_fresnel, re_schlick)
+        refl_choice = uc < re
+        refr_reflects = tir | refl_choice
+        coat_spec = uc < re_schlick
+
+        new_d = _where3(is_diff, rand_dir,
+                _where3(is_spec, refl,
+                _where3(is_refr, _where3(refr_reflects, refl, tdir),
+                _where3(coat_spec, refl, rand_dir))))
+        o_out = _add(hit_pos, _scale(nl, eps))
+        o_in = _sub(hit_pos, _scale(nl, eps))
+        new_o = _where3(is_refr & ~refr_reflects, o_in, o_out)
+
+        attenuates = is_diff | is_spec | (is_refr & ~refr_reflects) | (is_coat & ~coat_spec)
+        mask_after = _where3(attenuates, _mul(mask, c), mask)
+        bs_specular = is_spec | is_refr | (is_coat & coat_spec)
+
+        one_i = jnp.ones_like(ndif)
+        zero_i = jnp.zeros_like(ndif)
+        diff_inc = jnp.where(is_diff | (is_coat & ~coat_spec), one_i, zero_i)
+        spec_inc = jnp.where(is_spec | (is_refr & refr_reflects)
+                             | (is_coat & coat_spec), one_i, zero_i)
+        scat_inc = jnp.where(is_refr & ~refr_reflects, one_i, zero_i)
+
+        diffuse_lane = surface & ~bs_specular
+
+        # ---- NEE ----
+        if _dbg >= 5 and cfg.sample_lights and any(li >= 0 for li in lights):
+            nee = shade_nee(hit_pos, nl, depth_u)
+            acc = (acc[0] + jnp.where(diffuse_lane, nee[0] * mask_after[0], 0.0),
+                   acc[1] + jnp.where(diffuse_lane, nee[1] * mask_after[1], 0.0),
+                   acc[2] + jnp.where(diffuse_lane, nee[2] * mask_after[2], 0.0))
+
+        # ---- commit lane state ----
+        o = _where3(surface, new_o, o)
+        d = _where3(surface, new_d, d)
+        mask = _where3(surface, mask_after, mask)
+        specular = jnp.where(surface, bs_specular, specular)
+        prev_nl = _where3(surface, nl, prev_nl)
+        ndif2 = ndif + jnp.where(surface, diff_inc, 0)
+        nspec2 = nspec + jnp.where(surface, spec_inc, 0)
+        nscat2 = nscat + jnp.where(surface, scat_inc, 0)
+
+        cutoff = surface & (jnp.maximum(mask[0], jnp.maximum(mask[1], mask[2])) < 0.01)
+        capped = surface & ((ndif2 >= cfg.max_diff_bounces)
+                            | (nspec2 >= cfg.max_spec_bounces)
+                            | (nscat2 >= cfg.max_scattering_events))
+        active = active & ~(cutoff | capped)
+
+        return (o[0], o[1], o[2], d[0], d[1], d[2],
+                mask[0], mask[1], mask[2], acc[0], acc[1], acc[2],
+                jnp.where(active, one_i, zero_i),
+                jnp.where(specular, one_i, zero_i),
+                prev_nl[0], prev_nl[1], prev_nl[2],
+                ndif2, nspec2, nscat2)
+
+    ones_i = jnp.ones_like(zeros, jnp.int32)
+    zeros_i = jnp.zeros_like(zeros, jnp.int32)
+    init = (o[0], o[1], o[2], d[0], d[1], d[2],
+            ones, ones, ones, zeros, zeros, zeros,
+            ones_i, ones_i,
+            zeros, ones, zeros,
+            zeros_i, zeros_i, zeros_i)
+    final = jax.lax.fori_loop(0, cfg.max_bounces, body, init)
+    r_ref[:] = final[9]
+    g_ref[:] = final[10]
+    b_ref[:] = final[11]
+
+
+def _scene_table(scene):
+    """Pack the differentiable scene params into the SMEM f32 table."""
+    return jnp.concatenate([
+        scene.pos,                      # 0:3
+        scene.joker[:, :1],             # 3
+        scene.color,                    # 4:7
+        scene.emission,                 # 7:10
+        scene.ior[:, None],             # 10
+    ], axis=1)
+
+
+def _forward(scene, cfg: RenderConfig, ro, rd, pix, pass_idx, sample_idx):
+    h, w = pix.shape
+    assert h % BLOCK_ROWS == 0, f"height {h} not divisible by {BLOCK_ROWS}"
+    assert w % BLOCK_COLS == 0, f"width {w} not divisible by {BLOCK_COLS}"
+    meta = (scene.mesh_types_static, scene.mat_types_static,
+            scene.lights_static)
+
+    ft = _scene_table(scene)
+    pp = jnp.asarray([[pass_idx, sample_idx]], jnp.int32).reshape(1, 2)
+
+    grid = (h // BLOCK_ROWS, w // BLOCK_COLS)
+    row_spec = pl.BlockSpec((BLOCK_ROWS, BLOCK_COLS), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(_kernel_body, meta, cfg, w)
+    import os
+    interpret = os.environ.get("RT0_PALLAS_INTERPRET") == "1"
+    r, g, b = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # ft
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # pp
+            row_spec, row_spec, row_spec,            # o
+            row_spec, row_spec, row_spec,            # d
+            row_spec,                                # pix
+        ],
+        out_specs=[row_spec, row_spec, row_spec],
+        out_shape=[jax.ShapeDtypeStruct((h, w), jnp.float32)] * 3,
+    )(ft, pp, ro[..., 0], ro[..., 1], ro[..., 2],
+      rd[..., 0], rd[..., 1], rd[..., 2], pix)
+    return jnp.stack([r, g, b], axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def trace_forward(scene, cfg, ro, rd, pix, pass_idx, sample_idx):
+    """Megakernel radiance, bit-compatible with `integrator.trace` on the
+    supported scene class.  Backward replays the jnp integrator."""
+    return _forward(scene, cfg, ro, rd, pix, pass_idx, sample_idx)
+
+
+def _fwd(scene, cfg, ro, rd, pix, pass_idx, sample_idx):
+    out = _forward(scene, cfg, ro, rd, pix, pass_idx, sample_idx)
+    return out, (scene, ro, rd, pix, pass_idx, sample_idx)
+
+
+def _bwd(cfg, res, ct):
+    from raytracer0_tpu.render import integrator
+    scene, ro, rd, pix, pass_idx, sample_idx = res
+
+    def f(scene, ro, rd):
+        return integrator.trace(scene, cfg, ro, rd, pix, pass_idx, sample_idx)
+
+    _, vjp = jax.vjp(f, scene, ro, rd)
+    d_scene, d_ro, d_rd = vjp(ct)
+    return d_scene, d_ro, d_rd, None, None, None
+
+
+trace_forward.defvjp(_fwd, _bwd)

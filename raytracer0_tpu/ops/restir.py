@@ -177,7 +177,8 @@ def is_visible(scene, cfg, from_pos, to_pos, sdf_march=None):
     close = dist < cfg.epsilon * 10.0
     sdir = sd / dist[..., None]
     hit = isect.intersect(scene, from_pos + sdir * (cfg.epsilon * 2.0), sdir,
-                          cfg, sdf_march=sdf_march)
+                          cfg, sdf_march=sdf_march,
+                          need_normal=False, need_uv=False)
     blocked = (hit.t < dist - cfg.epsilon * 2.0) & ~hit.missed
     blocker_is_light = scene.mat_type[hit.idx] == MatType.LIGHT
     return close | ~blocked | (blocked & blocker_is_light)
@@ -246,7 +247,8 @@ def _shade_selected(scene, cfg, slot_map, x, nl, pix, pass_idx, sample_idx,
 
     sr_dir = vm.where3(is_sphere, dir_sphere, dir_sdf)
     hit = isect.intersect(scene, x + nl * cfg.epsilon, sr_dir, cfg,
-                          sdf_march=sdf_march)
+                          sdf_march=sdf_march,
+                          need_normal=False, need_uv=False)
     hit_is_light = (scene.mat_type[hit.idx] == MatType.LIGHT) & ~hit.missed
     lit_c = jnp.maximum(scene.color[hit.idx], 0.001)
     cos_term = jnp.maximum(0.001, vm.vdot(sr_dir, nl))

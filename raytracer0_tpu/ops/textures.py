@@ -56,11 +56,12 @@ def get_texel(scene, idx, uv, pos):
     zeros, whose alpha=0 makes every downstream `mix` a no-op — the same
     contract as the reference's NULL texel.
     """
+    present = used_tex_types(scene)
+    out = jnp.zeros(uv.shape[:-1] + (4,), jnp.float32)
+    if not present:  # texture-free scene: no gathers at all
+        return out
     ttype = scene.tex_type[idx]            # [...]
     params = scene.tex_params[idx]         # [..., 4]
-    present = used_tex_types(scene)
-
-    out = jnp.zeros(uv.shape[:-1] + (4,), jnp.float32)
 
     # Image textures 0-3 (raytracer.glsl:730-735).
     for k in range(4):

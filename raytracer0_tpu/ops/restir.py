@@ -370,7 +370,7 @@ def make_sampler_from_trees(back, hist, height, width, sdf_march,
         n_spatial = RESTIR_SPATIAL_SAMPLES
         if L > 10:
             n_spatial = max(4, n_spatial // 2)
-        few_frames = pass_idx < 10  # traced; handled via mask below
+        few_frames = jnp.asarray(pass_idx) < 10  # traced; handled via mask below
         for i in range(n_spatial):
             s1, s2 = rng.uniform2(pix, pass_idx, sample_idx, depth, i,
                                   rng.Stream.RESTIR_SPATIAL)

@@ -44,6 +44,22 @@ def _get_restir_sampler(cfg):
     return None
 
 
+def _megakernel_ok(scene, cfg, height, width, restir_sampler):
+    """Dispatch gate for the fused Pallas megakernel: feature coverage,
+    block-aligned shape, and a real TPU backend (on CPU the XLA path is
+    both faster and what the virtual-device sharding tests compile)."""
+    if not cfg.use_megakernel or restir_sampler is not None:
+        return False
+    from raytracer0_tpu.ops import megakernel
+    if not (megakernel.supported(scene, cfg)
+            and megakernel.supports_shape(height, width)):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
 def sample_radiance(scene, cfg: RenderConfig, camera: Camera,
                     height: int, width: int, pass_idx, time_s=0.0,
                     restir_sampler=None, row0=0, full_height=None):
@@ -55,13 +71,19 @@ def sample_radiance(scene, cfg: RenderConfig, camera: Camera,
     pix = rng.pixel_ids(height, width, row0=row0)
     sdf_march = _get_sdf_march(scene)
 
+    if _megakernel_ok(scene, cfg, height, width, restir_sampler):
+        from raytracer0_tpu.ops import megakernel
+        trace_fn = lambda *a: megakernel.trace_forward(*a)
+    else:
+        trace_fn = lambda scene, cfg, ro, rd, pix, p, s: integrator.trace(
+            scene, cfg, ro, rd, pix, p, s,
+            sdf_march=sdf_march, restir_sampler=restir_sampler)
+
     total = jnp.zeros((height, width, 3), jnp.float32)
     for s in range(cfg.samples_per_pass):
         ro, rd = generate_rays(camera, height, width, pass_idx, sample_idx=s,
                                row0=row0, full_height=full_height)
-        total = total + integrator.trace(
-            scene, cfg, ro, rd, pix, pass_idx, s,
-            sdf_march=sdf_march, restir_sampler=restir_sampler)
+        total = total + trace_fn(scene, cfg, ro, rd, pix, pass_idx, s)
     return total / cfg.samples_per_pass
 
 

@@ -41,3 +41,38 @@ def test_matches_integrator_interpret():
     err = np.abs(out - ref)
     assert err.max() < 1e-4
     assert (err.max(-1) < 1e-5).mean() > 0.99
+
+
+def test_backward_matches_integrator_grad_interpret():
+    """The fused Pallas adjoint kernel vs jax.grad of the XLA integrator.
+
+    One bounce at one block keeps Mosaic interpret mode tractable; on TPU
+    the same comparison was run compiled at 12 bounces / 256^2 (max rel
+    err ~1e-5 across color/emission/pos/joker)."""
+    import jax
+    import jax.numpy as jnp
+
+    scene, cam, cfg = cornell_default(use_mis=True)
+    cfg = cfg.replace(max_bounces=1)
+    H, W = 8, 128
+    pix = rng.pixel_ids(H, W)
+    ro, rd = generate_rays(cam, H, W, 0)
+
+    def loss_mk(color, emission):
+        s = scene.replace(color=color, emission=emission)
+        return jnp.sum(megakernel.trace_forward(s, cfg, ro, rd, pix, 0, 0))
+
+    def loss_ref(color, emission):
+        s = scene.replace(color=color, emission=emission)
+        return jnp.sum(integrator.trace(s, cfg, ro, rd, pix, 0, 0))
+
+    os.environ["RT0_PALLAS_INTERPRET"] = "1"
+    try:
+        g_mk = jax.grad(loss_mk, argnums=(0, 1))(scene.color, scene.emission)
+    finally:
+        del os.environ["RT0_PALLAS_INTERPRET"]
+    g_rf = jax.grad(loss_ref, argnums=(0, 1))(scene.color, scene.emission)
+    for a, b in zip(g_mk, g_rf):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() / scale < 1e-4

@@ -47,7 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from raytracer0_tpu import rng as rng_mod
 from raytracer0_tpu.config import RenderConfig, RenderMode
-from raytracer0_tpu.models.materials import MatType, MeshType
+from raytracer0_tpu.models.materials import MatType, MeshType, SdfShape
 
 BLOCK_ROWS = 8
 BLOCK_COLS = 128
@@ -191,19 +191,36 @@ def _power_heuristic(f, g):
                      jnp.maximum(denom, 1e-12), 0.0)
 
 
+# SNOWBALL needs the value-noise LUT (a texture gather) — XLA path only.
+_SDF_SHAPES_OK = frozenset(
+    int(s) for s in SdfShape if s != SdfShape.SNOWBALL)
+
+
 def supported(scene, cfg: RenderConfig) -> bool:
     """Static feature test: can the megakernel render this (scene, cfg)?"""
+    na = scene.num_analytic
+    analytic_ok = all(
+        t in (int(MeshType.SPHERE), int(MeshType.PLANE), int(MeshType.BOX))
+        for t in scene.mesh_types_static[:na])
+    sdf_ok = (all(t == int(MeshType.SDF)
+                  for t in scene.mesh_types_static[na:])
+              and all(s in _SDF_SHAPES_OK for s in scene.sdf_shapes_static))
+    # NEE in-kernel covers analytic sphere emitters only; DIR/SDF light
+    # slots route the whole render to the XLA path.
+    lights_ok = all(
+        li < 0 or (li < na
+                   and scene.mesh_types_static[li] == int(MeshType.SPHERE)
+                   and scene.mat_types_static[li] == int(MatType.LIGHT))
+        for li in scene.lights_static)
     return (
-        scene.num_sdfs == 0
-        and not scene.tex_types_used
+        not scene.tex_types_used
         and not cfg.use_restir
         and not cfg.use_volumetrics
         and not cfg.use_spectral
         and not cfg.use_cubemap
         and cfg.use_biased_sampling
         and int(cfg.render_mode) == int(RenderMode.STATIC)
-        and all(t in (int(MeshType.SPHERE), int(MeshType.PLANE),
-                      int(MeshType.BOX)) for t in scene.mesh_types_static)
+        and analytic_ok and sdf_ok and lights_ok
     )
 
 
@@ -212,8 +229,179 @@ def supports_shape(height: int, width: int) -> bool:
 
 
 # Packed f32 scene table columns.
-_C_PX, _C_PY, _C_PZ, _C_J0, _C_CR, _C_CG, _C_CB, _C_ER, _C_EG, _C_EB, _C_NT = range(11)
-_NCOLS = 11
+(_C_PX, _C_PY, _C_PZ, _C_J0, _C_J1, _C_J2, _C_J3,
+ _C_CR, _C_CG, _C_CB, _C_ER, _C_EG, _C_EB, _C_NT) = range(14)
+_NCOLS = 14
+
+
+# ----------------------------------------------------------------------
+# SDF distance library on component tuples (ops/sdf.py semantics,
+# raytracer.glsl:496-698) — p/pos are 3-tuples of [R, C] blocks, jk a
+# 4-tuple of SMEM scalars.  `jnp.mod`/`jnp.power` are avoided (floor +
+# explicit multiplies) for Mosaic lowering.
+# ----------------------------------------------------------------------
+
+def _length(a):
+    return jnp.sqrt(jnp.maximum(_dot(a, a), 0.0))
+
+
+def _mod2(x):
+    return x - 2.0 * jnp.floor(x * 0.5)
+
+
+def _tsd_box(q, b):
+    dx = jnp.abs(q[0]) - b[0]
+    dy = jnp.abs(q[1]) - b[1]
+    dz = jnp.abs(q[2]) - b[2]
+    outside = _length((jnp.maximum(dx, 0.0), jnp.maximum(dy, 0.0),
+                       jnp.maximum(dz, 0.0)))
+    inside = jnp.minimum(jnp.maximum(dx, jnp.maximum(dy, dz)), 0.0)
+    return outside + inside
+
+
+def _tsd_round_box(q, b, r):
+    d = (jnp.maximum(jnp.abs(q[0]) - b[0], 0.0),
+         jnp.maximum(jnp.abs(q[1]) - b[1], 0.0),
+         jnp.maximum(jnp.abs(q[2]) - b[2], 0.0))
+    return _length(d) - r
+
+
+def _tsd_sphere(q, s):
+    return _length(q) - s
+
+
+def _tsd_tri_prism(q, h0, h1):
+    qa = (jnp.abs(q[0]), jnp.abs(q[1]), jnp.abs(q[2]))
+    return jnp.maximum(
+        qa[2] - h1,
+        jnp.maximum(qa[0] * 0.866025 + q[1] * 0.5, -q[1]) - h0 * 0.5)
+
+
+def _tsd_cone(q, c0, c1, c2):
+    qx = jnp.sqrt(jnp.maximum(q[0] * q[0] + q[2] * q[2], 0.0))
+    qy = q[1]
+    d1 = -qy - c2
+    d2 = jnp.maximum(qx * c0 + qy * c1, qy)
+    outside = jnp.sqrt(jnp.maximum(
+        jnp.maximum(d1, 0.0) ** 2 + jnp.maximum(d2, 0.0) ** 2, 0.0))
+    return outside + jnp.minimum(jnp.maximum(d1, d2), 0.0)
+
+
+def _tsd_ellipsoid(q, r0, r1, r2):
+    scaled = (q[0] / r0, q[1] / r1, q[2] / r2)
+    slen = jnp.sqrt(jnp.maximum(_dot(scaled, scaled), 1e-12))
+    return (slen - 1.0) * jnp.minimum(r0, jnp.minimum(r1, r2))
+
+
+def _tsd_capsule(p, a, b, r):
+    pa = _sub(p, a)
+    ba = _sub(b, a)
+    h = jnp.clip(_dot(pa, ba) / jnp.maximum(_dot(ba, ba), 1e-12), 0.0, 1.0)
+    return _length(_sub(pa, _scale(ba, h))) - r
+
+
+def _tsd_menger(q, b):
+    """4-iteration Menger sponge (raytracer.glsl:642-660)."""
+    d = _tsd_box(q, b)
+    s = 1.0
+    for _ in range(4):
+        a = (_mod2(q[0] * s) - 1.0, _mod2(q[1] * s) - 1.0,
+             _mod2(q[2] * s) - 1.0)
+        s = s * 3.0
+        r = (jnp.abs(1.0 - 3.0 * jnp.abs(a[0])),
+             jnp.abs(1.0 - 3.0 * jnp.abs(a[1])),
+             jnp.abs(1.0 - 3.0 * jnp.abs(a[2])))
+        da = jnp.maximum(r[0], r[1])
+        db = jnp.maximum(r[1], r[2])
+        dc = jnp.maximum(r[2], r[0])
+        c = (jnp.minimum(da, jnp.minimum(db, dc)) - 1.0) / s
+        d = jnp.maximum(c, d)
+    return d
+
+
+def _tsd_mandelbulb(p):
+    """Power-8 Mandelbulb, 3 iterations (raytracer.glsl:663-698)."""
+    w = p
+    m = _dot(w, w)
+    dz = jnp.ones_like(m)
+    done = jnp.zeros_like(m)  # f32 mask (Mosaic-friendly)
+    for _ in range(3):
+        m2 = m * m
+        m4 = m2 * m2
+        dz_new = 8.0 * jnp.sqrt(jnp.maximum(m4 * m2 * m, 1e-20)) * dz + 1.0
+        x, y, z = w
+        x2, y2, z2 = x * x, y * y, z * z
+        x4, y4, z4 = x2 * x2, y2 * y2, z2 * z2
+        k3 = x2 + z2
+        k3_7 = k3 * k3 * k3 * k3 * k3 * k3 * k3
+        k2 = jax.lax.rsqrt(jnp.maximum(k3_7, 1e-20))
+        k1 = x4 + y4 + z4 - 6.0 * y2 * z2 - 6.0 * x2 * y2 + 2.0 * z2 * x2
+        k4 = x2 - y2 + z2
+        wx = p[0] + 64.0 * x * y * z * (x2 - z2) * k4 * (x4 - 6.0 * x2 * z2 + z4) * k1 * k2
+        wy = p[1] + -16.0 * y2 * k3 * k4 * k4 + k1 * k1
+        wz = p[2] + -8.0 * y * k4 * (x4 * x4 - 28.0 * x4 * x2 * z2 + 70.0 * x4 * z4
+                                     - 28.0 * x2 * z2 * z4 + z4 * z4) * k1 * k2
+        live = done < 0.5
+        w = _where3(live, (wx, wy, wz), w)
+        dz = jnp.where(live, dz_new, dz)
+        m_new = _dot((wx, wy, wz), (wx, wy, wz))
+        m = jnp.where(live, m_new, m)
+        done = jnp.maximum(done, jnp.where(m > 4.0, 1.0, 0.0))
+    m_safe = jnp.maximum(m, 1e-12)
+    return 0.25 * jnp.log(m_safe) * jnp.sqrt(m_safe) / dz
+
+
+def _tdisp(p, phase):
+    """disp(p, phase, power=1) (ops/sdf.disp) — both call sites use power 1."""
+    return (0.5 + 0.5 * jnp.cos(p[0] + 1.5 * phase)
+            * jnp.sin(p[1] + 2.0 * phase) * jnp.sin(p[2] + 1.0 * phase))
+
+
+def _tsd_sea_box(q, b, level):
+    sea = (-q[1] + level) \
+        - _tdisp(_scale(q, 10.0), 2.5) * 0.07 \
+        - _tdisp(_scale(q, 15.0), 4.5) * 0.03
+    box = _tsd_box(q, b)
+    return jnp.maximum(-sea, box)  # op_subtract(box, sea)
+
+
+def _tsd_siggraph(p):
+    ax = (-2.0 / 3.0, 2.0 / 3.0, 1.0 / 3.0)
+    ce = (0.0, -0.2, -0.2)
+    d1 = _dot(p, ax) - 0.1
+    d2 = _length(p) - 1.0
+    pc = _sub(p, ce)
+    d3 = _length(_sub(pc, _scale(ax, _dot(pc, ax)))) - 1.0
+    return jnp.maximum(jnp.maximum(d1, d2), -d3)
+
+
+def _sdf_distance(shape, p, pos, jk):
+    """Distance of one SDF entry (ops/sdf._entry_distance semantics)."""
+    q = _sub(p, pos)
+    j0, j1, j2, j3 = jk
+    if shape == int(SdfShape.BOX):
+        return _tsd_box(q, (j0, j1, j2))
+    if shape == int(SdfShape.ROUND_BOX):
+        return _tsd_round_box(q, (j0, j1, j2), j3)
+    if shape == int(SdfShape.SPHERE):
+        return _tsd_sphere(q, j0)
+    if shape == int(SdfShape.TRI_PRISM):
+        return _tsd_tri_prism(q, j0, j1)
+    if shape == int(SdfShape.CONE):
+        return _tsd_cone(q, j0, j1, j2)
+    if shape == int(SdfShape.MENGER_SPONGE):
+        return _tsd_menger(q, (j0, j1, j2))
+    if shape == int(SdfShape.MANDELBULB):
+        return _tsd_mandelbulb(q)
+    if shape == int(SdfShape.ELLIPSOID):
+        return _tsd_ellipsoid(q, j0, j1, j2)
+    if shape == int(SdfShape.CAPSULE):
+        return _tsd_capsule(p, pos, (j0, j1, j2), j3)
+    if shape == int(SdfShape.SEA_BOX):
+        return _tsd_sea_box(q, (j0, j1, j2), j3)
+    if shape == int(SdfShape.SIGGRAPH):
+        return _tsd_siggraph(q)
+    raise ValueError(f"megakernel: unsupported SDF shape {shape}")
 
 
 # ----------------------------------------------------------------------
@@ -224,19 +412,96 @@ def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d):
     """Radiance of one SoA block.  Pure in (sv, o, d) — `sv` is a tuple of
     per-mesh 11-scalar tuples (the SMEM table snapshot) so `jax.vjp` of
     this function gives the exact adjoint w.r.t. scene params and rays."""
-    mesh_types, mat_types, lights = meta
+    mesh_types, mat_types, lights, sdf_shapes, n_analytic = meta
     n_mesh = len(mesh_types)
+    n_sdf = len(sdf_shapes)
     eps = cfg.epsilon
     inf = cfg.infinity
+    sg = jax.lax.stop_gradient
 
     def mesh_p(i):
         return (sv[i][_C_PX], sv[i][_C_PY], sv[i][_C_PZ])
+
+    # ---- SDF scene map (ops/sdf.scene_map over the static entry list) ----
+    def sdf_map(p, svv):
+        best = None
+        best_i = None
+        for k in range(n_sdf):
+            i = n_analytic + k
+            pos = (svv[i][_C_PX], svv[i][_C_PY], svv[i][_C_PZ])
+            jk = (svv[i][_C_J0], svv[i][_C_J1], svv[i][_C_J2], svv[i][_C_J3])
+            dk = _sdf_distance(sdf_shapes[k], p, pos, jk)
+            if best is None:
+                best, best_i = dk, jnp.zeros_like(dk, jnp.int32)
+            else:
+                closer = dk < best
+                best_i = jnp.where(closer, k, best_i)
+                best = jnp.minimum(dk, best)
+        return best, best_i
+
+    sv_sg = tuple(tuple(sg(v) for v in row) for row in sv) if n_sdf else sv
+
+    def sdf_march(o, d, tlimit):
+        """Sphere trace (ops/sdf.march semantics): non-differentiated
+        fori march + implicit-function reattachment of the hit t."""
+        o_s = tuple(sg(x) for x in o)
+        d_s = tuple(sg(x) for x in d)
+        tl = sg(tlimit)
+        t0 = jnp.full_like(o[0], eps * 4.0)
+        d0, _ = sdf_map(_add(o_s, _scale(d_s, t0)), sv_sg)
+        done0 = jnp.where(jnp.abs(d0) < eps, 1.0, 0.0)
+
+        # Chunked early exit: bursts of fixed unrolled steps with an
+        # all-lanes-done check between bursts.  A per-step dynamic check
+        # costs more than it saves (the [R,C]->scalar reduce serializes
+        # the VPU); per-chunk it amortizes while still cutting marching
+        # cost to the block's slowest lane, like the XLA path's
+        # all-lanes-done while_loop.
+        chunk = min(16, max(1, cfg.marching_steps - 1))
+
+        def step_once(t, done):
+            dist, _ = sdf_map(_add(o_s, _scale(d_s, t)), sv_sg)
+            h = jnp.abs(dist)
+            hop = jnp.where((h < eps) | (t > tl), 1.0, 0.0)
+            stop = jnp.maximum(done, hop)
+            return t + (1.0 - stop) * h * cfg.fudge_factor, stop
+
+        def cond(carry):
+            step, _, done = carry
+            return (step < cfg.marching_steps - 1) & (jnp.min(done) < 0.5)
+
+        def body(carry):
+            step, t, done = carry
+            for _ in range(chunk):
+                t, done = step_once(t, done)
+            return step + chunk, t, done
+
+        _, t_star, _ = jax.lax.while_loop(
+            cond, body, (jnp.zeros((), jnp.int32), t0, done0))
+        valid = t_star <= tl
+        # Escaped lanes settle far out where unbounded fields (Mandelbulb)
+        # overflow f32 to NaN and poison reverse-mode even at zero
+        # cotangent — pin their evaluation point to the ray origin
+        # (results discarded by the `wins` gate).
+        t_safe = jnp.where(valid, t_star, 0.0)
+        # final map at the settled t: winner ordinal + differentiable
+        # reattachment  t = t* - (f - sg(f)) / sg(df/dt)
+        x = _add(o, _scale(d, t_safe))
+        f_val, res_i = sdf_map(x, sv)
+        x_s = tuple(sg(v) for v in x)
+        f_fwd, _ = sdf_map(_add(x_s, _scale(d_s, eps)), sv_sg)
+        f_bwd, _ = sdf_map(_sub(x_s, _scale(d_s, eps)), sv_sg)
+        dfdt = (f_fwd - f_bwd) / (2.0 * eps)
+        dfdt = jnp.where(jnp.abs(dfdt) < 0.05,
+                         jnp.where(dfdt < 0.0, -0.05, 0.05), dfdt)
+        t = jnp.where(valid, t_star - (f_val - sg(f_val)) / sg(dfdt), t_star)
+        return t, res_i, valid
 
     # ---- intersection over static mesh list (analytic_min semantics) ----
     def intersect(o, d):
         tmin = jnp.full_like(o[0], jnp.inf)
         idx = jnp.zeros_like(o[0], jnp.int32)
-        for i in range(n_mesh):
+        for i in range(n_analytic):
             mt = mesh_types[i]
             p = mesh_p(i)
             j0 = sv[i][_C_J0]
@@ -277,6 +542,14 @@ def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d):
             closer = valid & (t < tmin)
             tmin = jnp.where(closer, t, tmin)
             idx = jnp.where(closer, i, idx)
+        if n_sdf:
+            # merge exactly like ops/intersect.intersect: march up to the
+            # nearest analytic t (cfg.infinity on analytic miss)
+            tl = jnp.where(tmin > 1e30, inf, tmin)
+            t_sdf, ord_i, march_ok = sdf_march(o, d, tl)
+            wins = march_ok & (t_sdf < tl)
+            tmin = jnp.where(wins, t_sdf, tmin)
+            idx = jnp.where(wins, n_analytic + ord_i, idx)
         return tmin, idx
 
     def select_mesh_params(idx):
@@ -414,6 +687,25 @@ def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d):
         sz = jnp.where((dbz >= dbx) & (dbz >= dby), jnp.sign(hp[2]), 0.0)
         n_box = _normalize((sx, sy, sz))
         n = _where3(is_sph, n_sph, _where3(is_pln, n_pln, n_box))
+        if n_sdf:
+            # tetrahedral 4-tap finite-difference normal (sdf.calc_normal)
+            is_sdf = lane_mask(
+                idx, lambda i: mesh_types[i] == int(MeshType.SDF))
+            # taps pinned to the origin on non-SDF lanes: far-away
+            # evaluation of unbounded fields is NaN-prone (see sdf_march)
+            tp = _where3(is_sdf, hit_pos, (zeros, zeros, zeros))
+            gx = jnp.zeros_like(hit_pos[0])
+            gy = jnp.zeros_like(hit_pos[0])
+            gz = jnp.zeros_like(hit_pos[0])
+            for kx, ky, kz in ((1.0, -1.0, -1.0), (-1.0, -1.0, 1.0),
+                               (-1.0, 1.0, -1.0), (1.0, 1.0, 1.0)):
+                tap, _ = sdf_map((tp[0] + kx * eps,
+                                  tp[1] + ky * eps,
+                                  tp[2] + kz * eps), sv)
+                gx = gx + kx * tap
+                gy = gy + ky * tap
+                gz = gz + kz * tap
+            n = _where3(is_sdf, _normalize((gx, gy, gz)), n)
 
         c = (jnp.maximum(w_c[0], 0.001), jnp.maximum(w_c[1], 0.001),
              jnp.maximum(w_c[2], 0.001))
@@ -570,10 +862,10 @@ def _scene_table(scene):
     """Pack the differentiable scene params into the SMEM f32 table."""
     return jnp.concatenate([
         scene.pos,                      # 0:3
-        scene.joker[:, :1],             # 3
-        scene.color,                    # 4:7
-        scene.emission,                 # 7:10
-        scene.ior[:, None],             # 10
+        scene.joker,                    # 3:7
+        scene.color,                    # 7:10
+        scene.emission,                 # 10:13
+        scene.ior[:, None],             # 13
     ], axis=1)
 
 
@@ -587,7 +879,8 @@ def _forward(scene, cfg: RenderConfig, ro, rd, pix, pass_idx, sample_idx):
     assert h % BLOCK_ROWS == 0, f"height {h} not divisible by {BLOCK_ROWS}"
     assert w % BLOCK_COLS == 0, f"width {w} not divisible by {BLOCK_COLS}"
     meta = (scene.mesh_types_static, scene.mat_types_static,
-            scene.lights_static)
+            scene.lights_static, scene.sdf_shapes_static,
+            scene.num_analytic)
 
     ft = _scene_table(scene)
     pp = jnp.asarray([[pass_idx, sample_idx]], jnp.int32).reshape(1, 2)
@@ -664,7 +957,8 @@ def _bwd_kernel_body(meta, cfg: RenderConfig, ft_ref, pp_ref,
 def _backward(scene, cfg: RenderConfig, ro, rd, pix, pass_idx, sample_idx, ct):
     h, w = pix.shape
     meta = (scene.mesh_types_static, scene.mat_types_static,
-            scene.lights_static)
+            scene.lights_static, scene.sdf_shapes_static,
+            scene.num_analytic)
     n_mesh = len(meta[0])
 
     ft = _scene_table(scene)
@@ -726,10 +1020,9 @@ def _bwd(cfg, res, ct):
     dft, d_ro, d_rd = _backward(scene, cfg, ro, rd, pix, pass_idx,
                                 sample_idx, ct)
     d_scene = jax.tree.map(_zero_cotangent, scene)
-    d_joker = jnp.zeros_like(scene.joker).at[:, 0].set(dft[:, _C_J0])
     d_scene = d_scene.replace(
         pos=dft[:, _C_PX:_C_PZ + 1],
-        joker=d_joker,
+        joker=dft[:, _C_J0:_C_J3 + 1],
         color=dft[:, _C_CR:_C_CB + 1],
         emission=dft[:, _C_ER:_C_EB + 1],
         ior=dft[:, _C_NT],

@@ -290,8 +290,15 @@ def march(scene, ro, rd, tmin, cfg):
     scene_sg = jax.tree_util.tree_map(sg, scene)
     t_star, res_i, valid = _march_loop(scene_sg, sg(ro), sg(rd), sg(tmin), cfg)
 
+    # Escaped lanes settle at t up to cfg.infinity; evaluating unbounded
+    # fields (Mandelbulb) that far out overflows f32 to NaN, and a NaN
+    # primal poisons reverse-mode even under a zero cotangent.  All
+    # invalid-lane results are discarded by the caller (sdf_wins gate),
+    # so pin their evaluation point to the ray origin.
+    t_safe = jnp.where(valid, t_star, 0.0)
+
     # Implicit reattachment: t = t* - f(ro + t*·rd, θ) / ∂f/∂t|_sg
-    x_star = ro + rd * t_star[..., None]
+    x_star = ro + rd * t_safe[..., None]
     f_val, _ = scene_map(scene, x_star)  # differentiable w.r.t. scene, ro, rd
     h = cfg.epsilon
     f_fwd, _ = scene_map(scene_sg, sg(x_star) + sg(rd) * h)
@@ -299,8 +306,9 @@ def march(scene, ro, rd, tmin, cfg):
     dfdt = (f_fwd - f_bwd) / (2.0 * h)
     dfdt = jnp.where(jnp.abs(dfdt) < 0.05,
                      jnp.where(dfdt < 0, -0.05, 0.05), dfdt)
-    t = t_star - (f_val - sg(f_val)) / sg(dfdt)
+    t = jnp.where(valid, t_star - (f_val - sg(f_val)) / sg(dfdt), t_star)
 
     idx = (scene.num_analytic + res_i).astype(jnp.int32)
-    n = calc_normal(scene, ro + rd * t[..., None], cfg.epsilon)
+    n = calc_normal(scene, ro + rd * jnp.where(valid, t, 0.0)[..., None],
+                    cfg.epsilon)
     return t, idx, n, valid

@@ -19,9 +19,12 @@ at trace time from the scene's static structure, exactly like the
 reference's codegen constant folding.
 
 Coverage (static preconditions, `supported()`): analytic primitives,
-DIFF/SPEC/REFR/COAT, NEE + MIS, procedural sky — i.e. BASELINE configs
-1-2.  SDF/textures/ReSTIR/volumetrics/spectral take the general XLA
-path.  RNG is the same counter hash, so these kernels are *bit-
+the SDF shape library, DIFF/SPEC/REFR/COAT, NEE + MIS, procedural sky,
+hero-wavelength spectral transport (Cauchy dispersion in-kernel, CMF
+RGB conversion outside), and homogeneous participating media (free-path
+sampling, HG in-scatter NEE, fog-attenuated shadow rays) — i.e.
+BASELINE configs 1-3 and 5.  Textures/cubemap/ReSTIR take the general
+XLA path.  RNG is the same counter hash, so these kernels are *bit-
 compatible* with `integrator.trace` and validated against it per-pixel.
 
 Gradients: the backward pass is its own Pallas kernel.  The bounce loop
@@ -183,6 +186,40 @@ def _sample_cone(w, extent, u1, u2):
                        ca * u[2] + sa * v[2] + r_y * w[2]))
 
 
+def _sample_hg(w, g, u1, u2):
+    """Henyey-Greenstein importance sampling (sampling.sample_hg,
+    raytracer.glsl:1157-1171).  `g` is a python float (config constant),
+    so the isotropic branch resolves at trace time."""
+    if abs(g) < 1e-3:
+        cos_t = 1.0 - 2.0 * u1
+    else:
+        sqr = (1.0 - g * g) / (1.0 - g + 2.0 * g * u1)
+        cos_t = (1.0 + g * g - sqr * sqr) / (2.0 * g)
+    sin_t = _safe_sqrt(1.0 - cos_t * cos_t)
+    phi = TWO_PI * u2
+    t, b = _onb(w)
+    cp = jnp.cos(phi) * sin_t
+    sp = jnp.sin(phi) * sin_t
+    d = (cp * t[0] + sp * b[0] + cos_t * w[0],
+         cp * t[1] + sp * b[1] + cos_t * w[1],
+         cp * t[2] + sp * b[2] + cos_t * w[2])
+    return _normalize(d)
+
+
+def _hg_phase(cos_theta, g):
+    """HG phase value (sampling.hg_phase, raytracer.glsl:2032-2037)."""
+    g2 = g * g
+    denom = jnp.maximum(1.0 + g2 - 2.0 * g * cos_theta, 1e-6)
+    return (1.0 - g2) / (FOUR_PI * denom * jnp.sqrt(denom))
+
+
+def _hero_wavelength(pix, pass_u, samp_u):
+    """λ = u*340 + 380 nm from the WAVELENGTH stream (spectral.py,
+    raytracer.glsl:2122-2124) — bit-identical to the XLA path's draw."""
+    u = _uniform(pix, pass_u, samp_u, np.uint32(rng_mod.Stream.WAVELENGTH))
+    return u * 340.0 + 380.0
+
+
 def _power_heuristic(f, g):
     f2 = f * f
     g2 = g * g
@@ -215,8 +252,6 @@ def supported(scene, cfg: RenderConfig) -> bool:
     return (
         not scene.tex_types_used
         and not cfg.use_restir
-        and not cfg.use_volumetrics
-        and not cfg.use_spectral
         and not cfg.use_cubemap
         and cfg.use_biased_sampling
         and int(cfg.render_mode) == int(RenderMode.STATIC)
@@ -616,7 +651,14 @@ def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d):
                        jnp.maximum(hc[2], 0.001))
                 cos_term = jnp.maximum(0.001, _dot(sr, nl))
                 weight = 2.0 * (1.0 - cos_a_max)
-                contrib = _scale(_mul(lit, he), weight * cos_term)
+                if cfg.use_volumetrics:
+                    # Beer-Lambert fog attenuation of shadow rays
+                    # (lighting.py, raytracer.glsl:1198-1202)
+                    t_fog = jnp.exp(-cfg.vol_sigma_t * jnp.minimum(ts, inf))
+                    weight_t = weight * cos_term * t_fog
+                else:
+                    weight_t = weight * cos_term
+                contrib = _scale(_mul(lit, he), weight_t)
                 zero3 = (0.0 * tr,) * 3
                 contrib = _where3(hit_light, contrib, zero3)
                 if cfg.use_mis:
@@ -645,15 +687,86 @@ def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d):
     nspec = zeros_i
     nscat = zeros_i
 
+    if cfg.use_spectral:
+        hero_wl = _hero_wavelength(pix, pass_u, samp_u)
+
     for depth in range(cfg.max_bounces):
         depth_u = np.uint32(depth)
         tmin, idx = intersect(o, d)
         missed_now = tmin > 1e30
         t_eff = jnp.where(missed_now, inf, tmin)
-        surface = active & ~missed_now
+
+        # ---- participating medium event (integrator.trace semantics,
+        # raytracer.glsl:1999-2053) ----
+        if cfg.use_volumetrics:
+            u_fp = _uniform(pix, pass_u, samp_u, depth_u,
+                            np.uint32(rng_mod.Stream.VOL_FREEPATH))
+            scatter_d = -jnp.log(jnp.maximum(u_fp, 1e-6)) / cfg.vol_sigma_t
+            scatters = active & (scatter_d < jnp.minimum(inf, tmin))
+            scatter_pos = _add(o, _scale(d, scatter_d))
+            vol_w = cfg.vol_sigma_s / cfg.vol_sigma_t
+            mask = (jnp.where(scatters, mask[0] * vol_w, mask[0]),
+                    jnp.where(scatters, mask[1] * vol_w, mask[1]),
+                    jnp.where(scatters, mask[2] * vol_w, mask[2]))
+
+            # in-scatter NEE at the medium event (_volumetric_nee,
+            # raytracer.glsl:2011-2044) — sphere lights only (gate)
+            if cfg.sample_lights and any(li >= 0 for li in lights):
+                vr, vg, vb = zeros, zeros, zeros
+                for slot, li in enumerate(lights):
+                    if li < 0:
+                        continue
+                    if not (mat_types[li] == int(MatType.LIGHT)
+                            and mesh_types[li] == int(MeshType.SPHERE)):
+                        continue
+                    lp = mesh_p(li)
+                    l_r = sv[li][_C_J0]
+                    dl = _sub(lp, scatter_pos)
+                    dist = jnp.sqrt(jnp.maximum(_dot(dl, dl), 1e-12))
+                    r2 = l_r * l_r
+                    cos_a_max = _safe_sqrt(
+                        1.0 - jnp.clip(r2 / jnp.maximum(dist * dist, 1e-12),
+                                       0.0, 1.0))
+                    vu1, vu2 = _uniform2(pix, pass_u, samp_u, depth_u,
+                                         np.uint32(slot),
+                                         np.uint32(rng_mod.Stream.VOL_NEE))
+                    inv = 1.0 / dist
+                    dir_l = _sample_cone((dl[0] * inv, dl[1] * inv,
+                                          dl[2] * inv),
+                                         1.0 - cos_a_max, vu1, vu2)
+                    sh_o = _add(scatter_pos, _scale(dir_l, eps * 20.0))
+                    sh_t, sh_idx = intersect(sh_o, dir_l)
+                    reached = (sh_idx == li) & (sh_t < 1e30)
+                    omega = 2.0 * (1.0 - cos_a_max)
+                    phase = _hg_phase(_dot(d, dir_l), cfg.vol_g)
+                    t_fog = jnp.exp(-cfg.vol_sigma_t * jnp.minimum(sh_t, inf))
+                    sc = phase * t_fog * PI * omega
+                    lc = (sv[li][_C_CR] * sv[li][_C_ER] * sc,
+                          sv[li][_C_CG] * sv[li][_C_EG] * sc,
+                          sv[li][_C_CB] * sv[li][_C_EB] * sc)
+                    vr = vr + jnp.where(reached, lc[0], 0.0)
+                    vg = vg + jnp.where(reached, lc[1], 0.0)
+                    vb = vb + jnp.where(reached, lc[2], 0.0)
+                acc = (acc[0] + jnp.where(scatters, mask[0] * vr, 0.0),
+                       acc[1] + jnp.where(scatters, mask[1] * vg, 0.0),
+                       acc[2] + jnp.where(scatters, mask[2] * vb, 0.0))
+
+            hg1, hg2 = _uniform2(pix, pass_u, samp_u, depth_u,
+                                 np.uint32(rng_mod.Stream.VOL_PHASE))
+            hg_dir = _sample_hg(d, cfg.vol_g, hg1, hg2)
+            nscat = nscat + jnp.where(scatters, 1, 0)
+            specular = specular & ~scatters
+            vol_done = scatters & (
+                (nscat >= cfg.max_scattering_events)
+                | (jnp.maximum(mask[0], jnp.maximum(mask[1], mask[2])) < 0.01))
+            active = active & ~vol_done
+        else:
+            scatters = jnp.zeros_like(active)
+
+        surface = active & ~scatters & ~missed_now
 
         # ---- miss: sky (NEE-suppressed for non-specular paths) ----
-        missed = active & missed_now
+        missed = active & ~scatters & missed_now
         if cfg.sample_lights:
             env_allowed = specular
         else:
@@ -748,7 +861,15 @@ def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d):
         rand_dir = _sample_biased(nl, u1, u2)
         rough = _mul(e, rand_dir)
 
-        nt_eff = jnp.maximum(jnp.abs(w_nt), 1e-3)
+        if cfg.use_spectral:
+            # Cauchy dispersion: negative IoR encodes the A coefficient
+            # (bsdf.sample / spectral.cauchy_ior, raytracer.glsl:355-358)
+            lu = hero_wl * 0.001
+            cauchy = jnp.abs(w_nt) + 0.04 / jnp.maximum(lu * lu, 1e-6)
+            nt_raw = jnp.where(w_nt < 0.0, cauchy, w_nt)
+        else:
+            nt_raw = jnp.abs(w_nt)
+        nt_eff = jnp.maximum(nt_raw, 1e-3)
         refl = _normalize(_add(rough, _reflect(d, nl)))
 
         entering = inside > 0.0
@@ -831,6 +952,11 @@ def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d):
                             | (nspec >= cfg.max_spec_bounces)
                             | (nscat >= cfg.max_scattering_events))
         active = active & ~(cutoff | capped)
+
+        # volumetric lanes continue with the HG-scattered ray
+        if cfg.use_volumetrics:
+            o = _where3(scatters, scatter_pos, o)
+            d = _where3(scatters, hg_dir, d)
 
     return acc
 
@@ -1004,10 +1130,28 @@ def _zero_cotangent(x):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def trace_forward(scene, cfg, ro, rd, pix, pass_idx, sample_idx):
-    """Megakernel radiance, bit-compatible with `integrator.trace` on the
-    supported scene class.  Backward is the fused Pallas adjoint kernel."""
+def _trace_core(scene, cfg, ro, rd, pix, pass_idx, sample_idx):
+    """Megakernel radiance (pre spectral-RGB scaling), bit-compatible with
+    `integrator.trace` on the supported scene class.  Backward is the
+    fused Pallas adjoint kernel."""
     return _forward(scene, cfg, ro, rd, pix, pass_idx, sample_idx)
+
+
+def trace_forward(scene, cfg, ro, rd, pix, pass_idx, sample_idx):
+    """Megakernel radiance, bit-compatible with `integrator.trace`.
+
+    The hero-wavelength → RGB conversion (spectral.wavelength_to_rgb,
+    raytracer.glsl:2153-2155) is a per-pixel constant w.r.t. all traced
+    inputs (pure RNG), so it is applied outside the custom-vjp core —
+    the adjoint kernel then sees the correctly scaled cotangent for free."""
+    out = _trace_core(scene, cfg, ro, rd, pix, pass_idx, sample_idx)
+    if cfg.use_spectral:
+        from raytracer0_tpu.ops import spectral
+        wl = spectral.sample_wavelength(
+            rng_mod.uniform(pix, pass_idx, sample_idx,
+                            rng_mod.Stream.WAVELENGTH))
+        out = out * spectral.wavelength_to_rgb(wl)
+    return out
 
 
 def _fwd(scene, cfg, ro, rd, pix, pass_idx, sample_idx):
@@ -1030,4 +1174,4 @@ def _bwd(cfg, res, ct):
     return d_scene, d_ro, d_rd, None, None, None
 
 
-trace_forward.defvjp(_fwd, _bwd)
+_trace_core.defvjp(_fwd, _bwd)

@@ -19,10 +19,37 @@ from raytracer0_tpu.render import integrator
 def test_supported_gates():
     scene, cam, cfg = cornell_default()
     assert megakernel.supported(scene, cfg)
-    assert not megakernel.supported(scene, cfg.replace(use_volumetrics=True))
-    assert not megakernel.supported(scene, cfg.replace(use_spectral=True))
+    assert megakernel.supported(scene, cfg.replace(use_volumetrics=True))
+    assert megakernel.supported(scene, cfg.replace(use_spectral=True))
+    assert not megakernel.supported(scene, cfg.replace(use_restir=True))
     s2, _, c2 = restir_demo()
-    assert not megakernel.supported(s2, c2)  # SDF entry + restir
+    assert not megakernel.supported(s2, c2)  # restir config
+    from raytracer0_tpu.models.presets import spectral_caustics
+    s5, _, c5 = spectral_caustics()
+    assert megakernel.supported(s5, c5)  # the headline config-5 scene
+
+
+def test_spectral_volumetrics_matches_integrator_interpret():
+    """Config-5 class (hero-wavelength spectral + homogeneous medium) on
+    the megakernel vs the XLA integrator, bit-compatible RNG."""
+    from raytracer0_tpu.models.presets import spectral_caustics
+
+    scene, cam, cfg = spectral_caustics()
+    cfg = cfg.replace(max_bounces=3)
+    H, W = 8, 128
+    pix = rng.pixel_ids(H, W)
+    ro, rd = generate_rays(cam, H, W, 0)
+
+    ref = np.asarray(integrator.trace(scene, cfg, ro, rd, pix, 0, 0))
+    os.environ["RT0_PALLAS_INTERPRET"] = "1"
+    try:
+        out = np.asarray(megakernel.trace_forward(scene, cfg, ro, rd, pix, 0, 0))
+    finally:
+        del os.environ["RT0_PALLAS_INTERPRET"]
+    err = np.abs(out - ref)
+    rel = err / (np.abs(ref) + 1e-3)
+    assert np.median(rel) < 1e-5
+    assert (rel.max(-1) < 1e-3).mean() > 0.98, rel.max()
 
 
 def test_matches_integrator_interpret():
@@ -76,3 +103,36 @@ def test_backward_matches_integrator_grad_interpret():
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(b).max(), 1e-6)
         assert np.abs(a - b).max() / scale < 1e-4
+
+
+def test_backward_spectral_volumetrics_interpret():
+    """Adjoint kernel gradients through the medium event + dispersion."""
+    import jax
+    import jax.numpy as jnp
+    from raytracer0_tpu.models.presets import spectral_caustics
+
+    scene, cam, cfg = spectral_caustics()
+    cfg = cfg.replace(max_bounces=2)
+    H, W = 8, 128
+    pix = rng.pixel_ids(H, W)
+    ro, rd = generate_rays(cam, H, W, 0)
+
+    def loss_mk(color, emission, ior):
+        s = scene.replace(color=color, emission=emission, ior=ior)
+        return jnp.sum(megakernel.trace_forward(s, cfg, ro, rd, pix, 0, 0))
+
+    def loss_ref(color, emission, ior):
+        s = scene.replace(color=color, emission=emission, ior=ior)
+        return jnp.sum(integrator.trace(s, cfg, ro, rd, pix, 0, 0))
+
+    args = (scene.color, scene.emission, scene.ior)
+    os.environ["RT0_PALLAS_INTERPRET"] = "1"
+    try:
+        g_mk = jax.grad(loss_mk, argnums=(0, 1, 2))(*args)
+    finally:
+        del os.environ["RT0_PALLAS_INTERPRET"]
+    g_rf = jax.grad(loss_ref, argnums=(0, 1, 2))(*args)
+    for a, b in zip(g_mk, g_rf):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() / scale < 1e-3

@@ -71,19 +71,21 @@ def cmd_render(args):
         r = Renderer(scene, camera, cfg, h, w)
         if args.resume:
             from raytracer0_tpu.parallel import checkpoint
-            r.state = checkpoint.load(args.resume)
+            r.state = checkpoint.load(args.resume, scene=scene, cfg=cfg)
             print(f"resumed at pass {int(r.state.passes)}", file=sys.stderr)
         timer = RenderTimer(h, w, cfg.samples_per_pass, cfg.max_bounces)
+        import jax
         for p in range(args.passes):
             with timer:
-                r.step(time_s=args.time)
+                # block inside the timed region: step() is async dispatch
+                jax.block_until_ready(r.step(time_s=args.time))
             if args.checkpoint and (p + 1) % args.checkpoint_every == 0:
                 from raytracer0_tpu.parallel import checkpoint
-                checkpoint.save(args.checkpoint, r.state)
+                checkpoint.save(args.checkpoint, r.state, scene=scene, cfg=cfg)
         print(json.dumps(timer.report()), file=sys.stderr)
         if args.checkpoint:
             from raytracer0_tpu.parallel import checkpoint
-            checkpoint.save(args.checkpoint, r.state)
+            checkpoint.save(args.checkpoint, r.state, scene=scene, cfg=cfg)
         img = np.asarray(r.image())
         if args.debug_grid:
             from raytracer0_tpu.utils import diagnostics

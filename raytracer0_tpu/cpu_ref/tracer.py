@@ -743,9 +743,41 @@ def generate_ray(camera, height, width, row, col, pass_idx, sample_idx):
     return (origin + ap_pos).astype(np.float32), normalize(focal_point - ap_pos)
 
 
-def render(scene, camera, cfg: RenderConfig, height, width, passes):
+def animate_positions_np(s, time_s):
+    """Scalar mirror of getAnimatedPosition (raytracer.glsl:263-298):
+    per-index orbits for meshes 6..14, then the SDF rotate-about-Y + bob
+    branch for rows >= num_analytic.  Independent implementation of
+    models.scene.animate_positions for oracle parity tests."""
+    t = float(time_s)
+    pos = s.pos.copy()
+    for i in range(s.n):
+        p = pos[i].astype(np.float64)
+        if 6 <= i <= 14:
+            radius = 0.6
+            speed = 1.0 + (i - 6) * 0.2
+            phase = (i - 6) * 0.7
+            p = p + np.array([
+                math.cos(t * speed + phase) * radius * 0.3,
+                math.sin(t * speed * 2.0 + phase) * 0.1,
+                math.sin(t * speed + phase) * radius * 0.3,
+            ])
+        if i >= s.num_analytic and s.num_sdfs > 0:
+            ang = t * 0.5
+            ca, sa = math.cos(ang), math.sin(ang)
+            p = np.array([p[0] * ca - p[2] * sa,
+                          p[1] + math.sin(t * 1.5) * 0.05,
+                          p[0] * sa + p[2] * ca])
+        pos[i] = p.astype(np.float32)
+    s.pos = pos
+    return s
+
+
+def render(scene, camera, cfg: RenderConfig, height, width, passes,
+           time_s=0.0):
     """Mean radiance image [H, W, 3] over `passes` (pre-tonemap)."""
     s = scene_to_np(scene)
+    if int(cfg.render_mode) == 1:
+        s = animate_positions_np(s, time_s)
     out = np.zeros((height, width, 3), np.float32)
     for p in range(passes):
         for row in range(height):

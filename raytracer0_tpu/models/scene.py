@@ -227,11 +227,21 @@ class SceneBuilder:
 def animate_positions(scene: Scene, time_s, render_mode: int) -> Scene:
     """Per-frame animated mesh positions (raytracer.glsl:263-298).
 
-    Mesh indices 6..14 orbit on circular paths whose radius/speed/phase
-    derive from the index; applied once per frame on the scene data (the
-    reference recomputes this inside every intersector call — here it is
-    hoisted out of the hot loop, which is semantically identical because
-    positions only depend on frame time).
+    Two branches, exactly as `getAnimatedPosition`:
+
+    * mesh indices 6..14 orbit on circular paths whose radius/speed/phase
+      derive from the index (269-277) — applies to analytic *and* SDF rows
+      whose global index falls in that range, as in the reference;
+    * SDF rows (index >= NUM_MESHES, 281-295) additionally rotate their
+      (possibly orbit-displaced) *position about the world Y axis* at
+      rotSpeed=0.5 and bob vertically by sin(t*1.5)*0.05 — note the
+      rotation moves the position around the origin, it is not a local
+      spin.
+
+    Applied once per frame on the scene data (the reference recomputes
+    this inside every intersector call — here it is hoisted out of the
+    hot loop, which is semantically identical because positions only
+    depend on frame time).
     """
     if render_mode != 1:
         return scene
@@ -246,4 +256,18 @@ def animate_positions(scene: Scene, time_s, render_mode: int) -> Scene:
     dz = jnp.sin(t * speed + phase) * radius * 0.3
     dy = jnp.sin(t * speed * 2.0 + phase) * 0.1
     delta = jnp.stack([dx, dy, dz], axis=-1) * animated[:, None]
-    return scene.replace(pos=scene.pos + delta)
+    pos = scene.pos + delta
+
+    if scene.num_sdfs > 0:
+        # SDF branch (raytracer.glsl:281-295): rotate position about Y.
+        angle = t * 0.5  # rotSpeed = 0.5
+        ca = jnp.cos(angle)
+        sa = jnp.sin(angle)
+        rx = pos[:, 0] * ca - pos[:, 2] * sa
+        rz = pos[:, 0] * sa + pos[:, 2] * ca
+        ry = pos[:, 1] + jnp.sin(t * 1.5) * 0.05
+        rotated = jnp.stack([rx, ry, rz], axis=-1)
+        is_sdf = jnp.arange(n) >= scene.num_analytic
+        pos = jnp.where(is_sdf[:, None], rotated, pos)
+
+    return scene.replace(pos=pos)

@@ -13,6 +13,8 @@ Plain .npz is the storage format (zero extra dependencies, portable);
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -22,9 +24,35 @@ _RES_FIELDS = ("light_pos", "light_color", "weight_sum", "m", "w", "age",
                "light_index")
 
 
-def save(path: str, state: RenderState) -> None:
+def fingerprint(scene=None, cfg=None, height=None, width=None) -> str:
+    """Identity of a render-in-progress: scene structure + values, config,
+    and image shape.  Resuming a checkpoint into a different render would
+    silently blend two images — the fingerprint makes `load` refuse.
+
+    Scene *values* (positions/colors/...) are hashed too: a progressive
+    accumulator is only valid for the exact scene that produced it.
+    """
+    h = hashlib.sha256()
+    if scene is not None:
+        import jax
+        for leaf in jax.tree_util.tree_leaves(scene):
+            h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
+        h.update(repr((scene.num_analytic, scene.num_sdfs,
+                       scene.mesh_types_static, scene.mat_types_static,
+                       scene.lights_static, scene.sdf_shapes_static,
+                       scene.tex_types_used)).encode())
+    if cfg is not None:
+        h.update(repr(cfg).encode())
+    h.update(repr((height, width)).encode())
+    return h.hexdigest()[:16]
+
+
+def save(path: str, state: RenderState, scene=None, cfg=None) -> None:
+    ht, wd = state.accum.shape[:2]
     arrs = {"accum": np.asarray(state.accum),
-            "passes": np.asarray(state.passes)}
+            "passes": np.asarray(state.passes),
+            "fingerprint": np.frombuffer(
+                fingerprint(scene, cfg, ht, wd).encode(), np.uint8)}
     for name in ("restir_back", "restir_hist1", "restir_hist2"):
         res = getattr(state, name)
         for f in _RES_FIELDS:
@@ -32,8 +60,20 @@ def save(path: str, state: RenderState) -> None:
     np.savez_compressed(path, **arrs)
 
 
-def load(path: str) -> RenderState:
+def load(path: str, scene=None, cfg=None) -> RenderState:
+    """Load a checkpoint.  When `scene`/`cfg` are given, their fingerprint
+    must match the one stored at save time (mismatched resumes raise)."""
     with np.load(path) as z:
+        if "fingerprint" in z and (scene is not None or cfg is not None):
+            stored = bytes(z["fingerprint"]).decode()
+            ht, wd = z["accum"].shape[:2]
+            now = fingerprint(scene, cfg, ht, wd)
+            if stored != now:
+                raise ValueError(
+                    f"checkpoint fingerprint mismatch: saved={stored} "
+                    f"current={now} — refusing to resume a different "
+                    f"scene/config/size into this accumulator")
+
         def res(name):
             return Reservoirs(**{f: jnp.asarray(z[f"{name}.{f}"])
                                  for f in _RES_FIELDS})

@@ -24,12 +24,22 @@ import jax
 
 @dataclass
 class RenderTimer:
+    """Per-pass wall-clock timing.
+
+    The first timed pass includes jit tracing + XLA compilation (tens of
+    seconds for the big configs) and would swamp the throughput estimate
+    if averaged in; it is tracked separately as `compile_s` and the
+    headline `rays_per_s` is computed from steady-state passes only.
+    """
+
     height: int
     width: int
     spp: int
     bounces: int
     passes: int = 0
     total_s: float = 0.0
+    compile_s: float = 0.0   # wall time of the first (compiling) pass
+    steady_s: float = 0.0    # wall time of all subsequent passes
     _t0: Optional[float] = None
 
     def __enter__(self):
@@ -37,7 +47,12 @@ class RenderTimer:
         return self
 
     def __exit__(self, *exc):
-        self.total_s += time.perf_counter() - self._t0
+        dt = time.perf_counter() - self._t0
+        self.total_s += dt
+        if self.passes == 0:
+            self.compile_s = dt
+        else:
+            self.steady_s += dt
         self.passes += 1
 
     @property
@@ -46,16 +61,25 @@ class RenderTimer:
 
     @property
     def rays_per_s(self) -> float:
+        """Steady-state throughput (excludes the compiling first pass).
+        Falls back to the all-passes average when only one pass ran."""
+        if self.passes > 1 and self.steady_s > 0:
+            return self.rays_per_pass * (self.passes - 1) / self.steady_s
         if self.total_s == 0:
             return 0.0
         return self.rays_per_pass * self.passes / self.total_s
 
     def report(self) -> dict:
+        steady_passes = max(self.passes - 1, 0)
         return {
             "passes": self.passes,
             "total_s": round(self.total_s, 4),
+            "compile_s": round(self.compile_s, 4),
+            "steady_s": round(self.steady_s, 4),
             "rays_per_s": round(self.rays_per_s),
-            "ms_per_pass": round(1e3 * self.total_s / max(self.passes, 1), 3),
+            "ms_per_pass": round(
+                1e3 * self.steady_s / steady_passes, 3) if steady_passes
+            else round(1e3 * self.total_s / max(self.passes, 1), 3),
         }
 
 

@@ -110,12 +110,14 @@ enum MatType { M_LIGHT = 0, M_DIR_LIGHT = 1, M_DIFF = 2, M_SPEC = 3,
                M_REFR_FRESNEL = 4, M_REFR_SCHLICK = 5, M_COAT = 6 };
 enum MeshType { G_SPHERE = 0, G_PLANE = 1, G_BOX = 2, G_SDF = 3 };
 enum SdfShape { SD_BOX = 0, SD_ROUND_BOX = 1, SD_SPHERE = 2, SD_TRI_PRISM = 3,
-                SD_CONE = 4, SD_MENGER = 5, SD_MANDELBULB = 6 };
+                SD_CONE = 4, SD_MENGER = 5, SD_MANDELBULB = 6,
+                SD_TRIANGLE = 12, SD_QUAD = 13 };
 
 struct Scene {
   int n, num_analytic, num_sdfs, num_lights;
   const float *pos;       // [n,3]
   const float *joker;     // [n,4]
+  const float *aux;       // [n,12] triangle/quad vertices rel. to pos
   const int32_t *mesh_type;
   const int32_t *sdf_shape;
   const int32_t *mat_type;
@@ -127,6 +129,7 @@ struct Scene {
   V3 c(int i) const { return {color[3 * i], color[3 * i + 1], color[3 * i + 2]}; }
   V3 e(int i) const { return {emission[3 * i], emission[3 * i + 1], emission[3 * i + 2]}; }
   const float *jk(int i) const { return joker + 4 * i; }
+  const float *ax(int i) const { return aux + 12 * i; }
 };
 
 struct Config {
@@ -199,6 +202,55 @@ static float sd_mandelbulb(V3 p) {
   return 0.25f * std::log(ms) * std::sqrt(ms) / dz;
 }
 
+static inline float edge_dist2(V3 e, V3 pv) {
+  float ee = dot(e, e);
+  float h = std::min(std::max(dot(e, pv) / std::max(ee, 1e-12f), 0.0f), 1.0f);
+  V3 d = e * h - pv;
+  return dot(d, d);
+}
+// udTriangle (raytracer.glsl:537-554)
+static float ud_triangle(V3 p, V3 a, V3 b, V3 c) {
+  V3 ba = b - a, pa = p - a;
+  V3 cb = c - b, pb = p - b;
+  V3 ac = a - c, pc = p - c;
+  V3 nor = cross(ba, ac);
+  auto sg = [](float v) { return (v > 0.0f) - (v < 0.0f); };
+  float ssum = (float)sg(dot(cross(ba, nor), pa)) +
+               (float)sg(dot(cross(cb, nor), pb)) +
+               (float)sg(dot(cross(ac, nor), pc));
+  float d2;
+  if (ssum < 2.0f) {
+    d2 = std::min(std::min(edge_dist2(ba, pa), edge_dist2(cb, pb)),
+                  edge_dist2(ac, pc));
+  } else {
+    float dn = dot(nor, pa);
+    d2 = dn * dn / std::max(dot(nor, nor), 1e-12f);
+  }
+  return std::sqrt(std::max(d2, 0.0f));
+}
+// udQuad (raytracer.glsl:556-576)
+static float ud_quad(V3 p, V3 a, V3 b, V3 c, V3 d) {
+  V3 ba = b - a, pa = p - a;
+  V3 cb = c - b, pb = p - b;
+  V3 dc = d - c, pc = p - c;
+  V3 ad = a - d, pd = p - d;
+  V3 nor = cross(ba, ad);
+  auto sg = [](float v) { return (v > 0.0f) - (v < 0.0f); };
+  float ssum = (float)sg(dot(cross(ba, nor), pa)) +
+               (float)sg(dot(cross(cb, nor), pb)) +
+               (float)sg(dot(cross(dc, nor), pc)) +
+               (float)sg(dot(cross(ad, nor), pd));
+  float d2;
+  if (ssum < 3.0f) {
+    d2 = std::min(std::min(edge_dist2(ba, pa), edge_dist2(cb, pb)),
+                  std::min(edge_dist2(dc, pc), edge_dist2(ad, pd)));
+  } else {
+    float dn = dot(nor, pa);
+    d2 = dn * dn / std::max(dot(nor, nor), 1e-12f);
+  }
+  return std::sqrt(std::max(d2, 0.0f));
+}
+
 static float sdf_value(const Scene &s, int i, V3 p) {
   V3 q = p - s.p(i);
   const float *j = s.jk(i);
@@ -210,6 +262,16 @@ static float sdf_value(const Scene &s, int i, V3 p) {
     case SD_CONE: return sd_cone(q, v3(j[0], j[1], j[2]));
     case SD_MENGER: return sd_menger(q, v3(j[0], j[1], j[2]));
     case SD_MANDELBULB: return sd_mandelbulb(q);
+    case SD_TRIANGLE: {
+      const float *a = s.ax(i);
+      return ud_triangle(q, v3(a[0], a[1], a[2]), v3(a[3], a[4], a[5]),
+                         v3(a[6], a[7], a[8]));
+    }
+    case SD_QUAD: {
+      const float *a = s.ax(i);
+      return ud_quad(q, v3(a[0], a[1], a[2]), v3(a[3], a[4], a[5]),
+                     v3(a[6], a[7], a[8]), v3(a[9], a[10], a[11]));
+    }
     default: return 1e9f;
   }
 }
@@ -653,7 +715,8 @@ extern "C" {
 void rt0_render(
     // scene
     int n, int num_analytic, int num_sdfs,
-    const float *pos, const float *joker, const int32_t *mesh_type,
+    const float *pos, const float *joker, const float *aux,
+    const int32_t *mesh_type,
     const int32_t *sdf_shape, const int32_t *mat_type, const float *color,
     const float *emission, const float *ior, const int32_t *lights,
     int num_lights,
@@ -668,7 +731,7 @@ void rt0_render(
     float vol_g, int spp,
     // image
     int height, int width, int passes, float *out) {
-  Scene s{n, num_analytic, num_sdfs, num_lights, pos, joker, mesh_type,
+  Scene s{n, num_analytic, num_sdfs, num_lights, pos, joker, aux, mesh_type,
           sdf_shape, mat_type, color, emission, ior, lights};
   Config cfg{max_bounces, max_diff, max_spec, max_scatter, marching_steps,
              fudge, epsilon, infinity, sample_lights, use_mis, use_biased,

@@ -42,7 +42,7 @@ def _load() -> ctypes.CDLL:
         lib.rt0_render.restype = None
         lib.rt0_render.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.c_int,           # n, analytic, sdfs
-            f32p, f32p, i32p, i32p, i32p, f32p, f32p, f32p,     # scene arrays
+            f32p, f32p, f32p, i32p, i32p, i32p, f32p, f32p, f32p,  # scene arrays
             i32p, ctypes.c_int,                                 # lights, L
             f32p, f32p, ctypes.c_float, ctypes.c_float, ctypes.c_float,  # camera
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,      # bounce caps
@@ -80,7 +80,7 @@ def render(scene, camera, cfg: RenderConfig, height: int, width: int,
     out = np.zeros((height, width, 3), np.float32)
     lib.rt0_render(
         scene.pos.shape[0], scene.num_analytic, scene.num_sdfs,
-        f32(scene.pos), f32(scene.joker), i32(scene.mesh_type),
+        f32(scene.pos), f32(scene.joker), f32(scene.aux), i32(scene.mesh_type),
         i32(scene.sdf_shape), i32(scene.mat_type), f32(scene.color),
         f32(scene.emission), f32(scene.ior),
         i32(scene.light_idx), int(scene.light_idx.shape[0]),

@@ -57,7 +57,7 @@ def scene_to_np(scene):
         pass
 
     s = S()
-    for name in ("pos", "joker", "mesh_type", "sdf_shape", "color", "emission",
+    for name in ("pos", "joker", "aux", "mesh_type", "sdf_shape", "color", "emission",
                  "ior", "tex_cmask", "tex_emask", "tex_params", "mat_type",
                  "tex_type", "opts", "light_idx", "images", "noise", "cubemap"):
         setattr(s, name, np.asarray(getattr(scene, name)))
@@ -281,6 +281,51 @@ def _mandelbulb(p):
     return float(f(0.25) * np.log(m_safe) * np.sqrt(m_safe) / dz)
 
 
+def _ud_triangle(p, a, b, c):
+    """udTriangle (raytracer.glsl:537-554)."""
+    ba, pa = b - a, p - a
+    cb, pb = c - b, p - b
+    ac, pc = a - c, p - c
+    nor = np.cross(ba, ac)
+
+    def edge2(e, pv):
+        h = min(max(float(e @ pv) / max(float(e @ e), 1e-12), 0.0), 1.0)
+        d = e * h - pv
+        return float(d @ d)
+
+    sgn = (np.sign(np.cross(ba, nor) @ pa) + np.sign(np.cross(cb, nor) @ pb)
+           + np.sign(np.cross(ac, nor) @ pc))
+    if sgn < 2.0:
+        d2 = min(edge2(ba, pa), edge2(cb, pb), edge2(ac, pc))
+    else:
+        dn = float(nor @ pa)
+        d2 = dn * dn / max(float(nor @ nor), 1e-12)
+    return math.sqrt(max(d2, 0.0))
+
+
+def _ud_quad(p, a, b, c, d):
+    """udQuad (raytracer.glsl:556-576)."""
+    ba, pa = b - a, p - a
+    cb, pb = c - b, p - b
+    dc, pc = d - c, p - c
+    ad, pd = a - d, p - d
+    nor = np.cross(ba, ad)
+
+    def edge2(e, pv):
+        h = min(max(float(e @ pv) / max(float(e @ e), 1e-12), 0.0), 1.0)
+        dd = e * h - pv
+        return float(dd @ dd)
+
+    sgn = (np.sign(np.cross(ba, nor) @ pa) + np.sign(np.cross(cb, nor) @ pb)
+           + np.sign(np.cross(dc, nor) @ pc) + np.sign(np.cross(ad, nor) @ pd))
+    if sgn < 3.0:
+        d2 = min(edge2(ba, pa), edge2(cb, pb), edge2(dc, pc), edge2(ad, pd))
+    else:
+        dn = float(nor @ pa)
+        d2 = dn * dn / max(float(nor @ nor), 1e-12)
+    return math.sqrt(max(d2, 0.0))
+
+
 def sdf_value(s, i, p):
     """Distance of SDF entry i (global mesh index) at point p."""
     shape = int(s.sdf_shape[i])
@@ -300,6 +345,12 @@ def sdf_value(s, i, p):
         return _menger(q, jk[:3])
     if shape == SdfShape.MANDELBULB:
         return _mandelbulb(q)
+    if shape == SdfShape.TRIANGLE:
+        ax = s.aux[i]
+        return _ud_triangle(q, ax[0:3], ax[3:6], ax[6:9])
+    if shape == SdfShape.QUAD:
+        ax = s.aux[i]
+        return _ud_quad(q, ax[0:3], ax[3:6], ax[6:9], ax[9:12])
     raise NotImplementedError(f"cpu_ref: sdf shape {shape}")
 
 

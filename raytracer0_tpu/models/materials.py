@@ -76,6 +76,10 @@ class SdfShape(enum.IntEnum):
     SNOWBALL = 9
     SEA_BOX = 10
     SIGGRAPH = 11
+    # udTriangle / udQuad (raytracer.glsl:537-576): vertices live in the
+    # scene's `aux` row (relative to `pos`), 3 or 4 consecutive vec3s.
+    TRIANGLE = 12
+    QUAD = 13
 
 
 # Index of refraction table (raytracer.glsl:51-58).

@@ -37,6 +37,7 @@ class Scene:
     # --- geometry (differentiable) ---
     pos: Any        # f32[N, 3] position / plane normal
     joker: Any      # f32[N, 4] multi-purpose params (radius, plane w, box size, sdf params)
+    aux: Any        # f32[N, 12] extra SDF params (triangle/quad vertices rel. to pos)
     # --- geometry (discrete) ---
     mesh_type: Any  # i32[N] MeshType codes
     sdf_shape: Any  # i32[N] SdfShape codes (-1 for non-SDF entries)
@@ -112,12 +113,20 @@ class SceneBuilder:
 
     def add(self, mat: Union[str, Material], mesh_type: MeshType,
             pos: Sequence[float], joker: Sequence[float],
-            sdf_shape: SdfShape = SdfShape.BOX):
-        """Add one mesh row (one DSL line: `MAT, TYPE, vec3(pos), vec4(joker)`)."""
+            sdf_shape: SdfShape = SdfShape.BOX,
+            aux: Optional[Sequence[float]] = None):
+        """Add one mesh row (one DSL line: `MAT, TYPE, vec3(pos), vec4(joker)`).
+
+        `aux` carries extra SDF parameters beyond the 4 joker floats —
+        TRIANGLE uses aux[0:9] as 3 vertices, QUAD aux[0:12] as 4
+        vertices, all relative to `pos` (raytracer.glsl:537-576)."""
         name, m = _as_mat(mat)
         joker = tuple(joker) + (0.0,) * (4 - len(joker))
+        aux = tuple(aux) if aux is not None else ()
+        aux = aux + (0.0,) * (12 - len(aux))
         row = dict(name=name, mat=m, mesh_type=MeshType(mesh_type),
-                   pos=tuple(pos), joker=joker[:4], sdf_shape=SdfShape(sdf_shape))
+                   pos=tuple(pos), joker=joker[:4], sdf_shape=SdfShape(sdf_shape),
+                   aux=aux[:12])
         if row["mesh_type"] in (MeshType.SDF, MeshType.GRID_SDF):
             self._sdf_rows.append(row)
         else:
@@ -147,6 +156,7 @@ class SceneBuilder:
 
         pos = np.zeros((n, 3), np.float32)
         joker = np.zeros((n, 4), np.float32)
+        aux = np.zeros((n, 12), np.float32)
         mesh_type = np.zeros((n,), np.int32)
         sdf_shape = np.full((n,), -1, np.int32)
         color = np.zeros((n, 3), np.float32)
@@ -164,6 +174,7 @@ class SceneBuilder:
             m = row["mat"]
             pos[i] = row["pos"]
             joker[i] = row["joker"]
+            aux[i] = row.get("aux", (0.0,) * 12)
             mesh_type[i] = int(row["mesh_type"])
             if row["mesh_type"] in (MeshType.SDF, MeshType.GRID_SDF):
                 sdf_shape[i] = int(row["sdf_shape"])
@@ -195,6 +206,7 @@ class SceneBuilder:
 
         return Scene(
             pos=jnp.asarray(pos), joker=jnp.asarray(joker),
+            aux=jnp.asarray(aux),
             mesh_type=jnp.asarray(mesh_type), sdf_shape=jnp.asarray(sdf_shape),
             color=jnp.asarray(color), emission=jnp.asarray(emission),
             ior=jnp.asarray(ior),

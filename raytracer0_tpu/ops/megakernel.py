@@ -266,7 +266,8 @@ def supports_shape(height: int, width: int) -> bool:
 # Packed f32 scene table columns.
 (_C_PX, _C_PY, _C_PZ, _C_J0, _C_J1, _C_J2, _C_J3,
  _C_CR, _C_CG, _C_CB, _C_ER, _C_EG, _C_EB, _C_NT) = range(14)
-_NCOLS = 14
+_C_AUX = 14  # 12 aux floats (triangle/quad vertices) follow
+_NCOLS = 26
 
 
 # ----------------------------------------------------------------------
@@ -400,6 +401,68 @@ def _tsd_sea_box(q, b, level):
     return jnp.maximum(-sea, box)  # op_subtract(box, sea)
 
 
+def _tsd_edge2(e, pv):
+    """Squared distance to segment 0→e (e is a 3-tuple of SMEM scalars,
+    pv of [R, C] blocks)."""
+    ee = e[0] * e[0] + e[1] * e[1] + e[2] * e[2]
+    h = jnp.clip(_dot(e, pv) / jnp.maximum(ee, 1e-12), 0.0, 1.0)
+    d = (e[0] * h - pv[0], e[1] * h - pv[1], e[2] * h - pv[2])
+    return _dot(d, d)
+
+
+def _cross_s(a, b):
+    """Cross product of two scalar 3-tuples (trace-time constants)."""
+    return (a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0])
+
+
+def _tsd_triangle(q, a, b, c):
+    """udTriangle on component tuples (raytracer.glsl:537-554); the
+    vertices a/b/c are SMEM scalar 3-tuples so edge vectors and normals
+    fold at trace time."""
+    ba = (b[0] - a[0], b[1] - a[1], b[2] - a[2])
+    cb = (c[0] - b[0], c[1] - b[1], c[2] - b[2])
+    ac = (a[0] - c[0], a[1] - c[1], a[2] - c[2])
+    pa = (q[0] - a[0], q[1] - a[1], q[2] - a[2])
+    pb = (q[0] - b[0], q[1] - b[1], q[2] - b[2])
+    pc = (q[0] - c[0], q[1] - c[1], q[2] - c[2])
+    nor = _cross_s(ba, ac)
+    sgn = (jnp.sign(_dot(_cross_s(ba, nor), pa))
+           + jnp.sign(_dot(_cross_s(cb, nor), pb))
+           + jnp.sign(_dot(_cross_s(ac, nor), pc)))
+    d_edge = jnp.minimum(jnp.minimum(_tsd_edge2(ba, pa), _tsd_edge2(cb, pb)),
+                         _tsd_edge2(ac, pc))
+    dn = _dot(nor, pa)
+    nn = nor[0] * nor[0] + nor[1] * nor[1] + nor[2] * nor[2]
+    d_face = dn * dn / jnp.maximum(nn, 1e-12)
+    return jnp.sqrt(jnp.maximum(jnp.where(sgn < 2.0, d_edge, d_face), 0.0))
+
+
+def _tsd_quad(q, a, b, c, d):
+    """udQuad on component tuples (raytracer.glsl:556-576)."""
+    ba = (b[0] - a[0], b[1] - a[1], b[2] - a[2])
+    cb = (c[0] - b[0], c[1] - b[1], c[2] - b[2])
+    dc = (d[0] - c[0], d[1] - c[1], d[2] - c[2])
+    ad = (a[0] - d[0], a[1] - d[1], a[2] - d[2])
+    pa = (q[0] - a[0], q[1] - a[1], q[2] - a[2])
+    pb = (q[0] - b[0], q[1] - b[1], q[2] - b[2])
+    pc = (q[0] - c[0], q[1] - c[1], q[2] - c[2])
+    pd = (q[0] - d[0], q[1] - d[1], q[2] - d[2])
+    nor = _cross_s(ba, ad)
+    sgn = (jnp.sign(_dot(_cross_s(ba, nor), pa))
+           + jnp.sign(_dot(_cross_s(cb, nor), pb))
+           + jnp.sign(_dot(_cross_s(dc, nor), pc))
+           + jnp.sign(_dot(_cross_s(ad, nor), pd)))
+    d_edge = jnp.minimum(
+        jnp.minimum(_tsd_edge2(ba, pa), _tsd_edge2(cb, pb)),
+        jnp.minimum(_tsd_edge2(dc, pc), _tsd_edge2(ad, pd)))
+    dn = _dot(nor, pa)
+    nn = nor[0] * nor[0] + nor[1] * nor[1] + nor[2] * nor[2]
+    d_face = dn * dn / jnp.maximum(nn, 1e-12)
+    return jnp.sqrt(jnp.maximum(jnp.where(sgn < 3.0, d_edge, d_face), 0.0))
+
+
 def _tsd_siggraph(p):
     ax = (-2.0 / 3.0, 2.0 / 3.0, 1.0 / 3.0)
     ce = (0.0, -0.2, -0.2)
@@ -410,10 +473,14 @@ def _tsd_siggraph(p):
     return jnp.maximum(jnp.maximum(d1, d2), -d3)
 
 
-def _sdf_distance(shape, p, pos, jk):
+def _sdf_distance(shape, p, pos, jk, ax=None):
     """Distance of one SDF entry (ops/sdf._entry_distance semantics)."""
     q = _sub(p, pos)
     j0, j1, j2, j3 = jk
+    if shape == int(SdfShape.TRIANGLE):
+        return _tsd_triangle(q, ax[0:3], ax[3:6], ax[6:9])
+    if shape == int(SdfShape.QUAD):
+        return _tsd_quad(q, ax[0:3], ax[3:6], ax[6:9], ax[9:12])
     if shape == int(SdfShape.BOX):
         return _tsd_box(q, (j0, j1, j2))
     if shape == int(SdfShape.ROUND_BOX):
@@ -465,7 +532,8 @@ def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d):
             i = n_analytic + k
             pos = (svv[i][_C_PX], svv[i][_C_PY], svv[i][_C_PZ])
             jk = (svv[i][_C_J0], svv[i][_C_J1], svv[i][_C_J2], svv[i][_C_J3])
-            dk = _sdf_distance(sdf_shapes[k], p, pos, jk)
+            ax = tuple(svv[i][_C_AUX + a] for a in range(12))
+            dk = _sdf_distance(sdf_shapes[k], p, pos, jk, ax)
             if best is None:
                 best, best_i = dk, jnp.zeros_like(dk, jnp.int32)
             else:
@@ -992,6 +1060,7 @@ def _scene_table(scene):
         scene.color,                    # 7:10
         scene.emission,                 # 10:13
         scene.ior[:, None],             # 13
+        scene.aux,                      # 14:26
     ], axis=1)
 
 
@@ -1170,6 +1239,7 @@ def _bwd(cfg, res, ct):
         color=dft[:, _C_CR:_C_CB + 1],
         emission=dft[:, _C_ER:_C_EB + 1],
         ior=dft[:, _C_NT],
+        aux=dft[:, _C_AUX:_C_AUX + 12],
     )
     return d_scene, d_ro, d_rd, None, None, None
 

@@ -80,6 +80,53 @@ def sd_capsule(p, a, b, r):
     return vm.length(pa - ba * h[..., None]) - r
 
 
+def _dot2(v):
+    return vm.vdot(v, v)
+
+
+def _edge_dist2(edge, pv):
+    """Squared distance from pv to the segment 0→edge (the clamped-
+    projection term shared by udTriangle/udQuad)."""
+    h = jnp.clip(vm.vdot(edge, pv) / jnp.maximum(_dot2(edge), 1e-12), 0.0, 1.0)
+    return _dot2(edge * h[..., None] - pv)
+
+
+def ud_triangle(p, a, b, c):
+    """Unsigned distance to triangle abc (raytracer.glsl:537-554):
+    edge-region select via the sign-sum test, else plane distance."""
+    ba, pa = b - a, p - a
+    cb, pb = c - b, p - b
+    ac, pc = a - c, p - c
+    nor = vm.cross(ba, ac)
+    edge_region = (jnp.sign(vm.vdot(vm.cross(ba, nor), pa))
+                   + jnp.sign(vm.vdot(vm.cross(cb, nor), pb))
+                   + jnp.sign(vm.vdot(vm.cross(ac, nor), pc))) < 2.0
+    d_edge = jnp.minimum(jnp.minimum(_edge_dist2(ba, pa), _edge_dist2(cb, pb)),
+                         _edge_dist2(ac, pc))
+    dn = vm.vdot(nor, pa)
+    d_face = dn * dn / jnp.maximum(_dot2(nor), 1e-12)
+    return jnp.sqrt(jnp.maximum(jnp.where(edge_region, d_edge, d_face), 0.0))
+
+
+def ud_quad(p, a, b, c, d):
+    """Unsigned distance to quad abcd (raytracer.glsl:556-576)."""
+    ba, pa = b - a, p - a
+    cb, pb = c - b, p - b
+    dc, pc = d - c, p - c
+    ad, pd = a - d, p - d
+    nor = vm.cross(ba, ad)
+    edge_region = (jnp.sign(vm.vdot(vm.cross(ba, nor), pa))
+                   + jnp.sign(vm.vdot(vm.cross(cb, nor), pb))
+                   + jnp.sign(vm.vdot(vm.cross(dc, nor), pc))
+                   + jnp.sign(vm.vdot(vm.cross(ad, nor), pd))) < 3.0
+    d_edge = jnp.minimum(
+        jnp.minimum(_edge_dist2(ba, pa), _edge_dist2(cb, pb)),
+        jnp.minimum(_edge_dist2(dc, pc), _edge_dist2(ad, pd)))
+    dn = vm.vdot(nor, pa)
+    d_face = dn * dn / jnp.maximum(_dot2(nor), 1e-12)
+    return jnp.sqrt(jnp.maximum(jnp.where(edge_region, d_edge, d_face), 0.0))
+
+
 # ---------------------------------------------------------------------------
 # operators (raytracer.glsl:582-624)
 # ---------------------------------------------------------------------------
@@ -106,6 +153,16 @@ def op_twist(p):
     x = c * p[..., 0] - s * p[..., 2]
     z = s * p[..., 0] + c * p[..., 2]
     return jnp.stack([x, z, p[..., 1]], axis=-1)
+
+
+def op_cheap_bend(p):
+    """Domain bend in the XY plane (raytracer.glsl:605-610): rotate
+    (x, y) by angle 20·y, keep z."""
+    c = jnp.cos(20.0 * p[..., 1])
+    s = jnp.sin(20.0 * p[..., 1])
+    x = c * p[..., 0] - s * p[..., 1]
+    y = s * p[..., 0] + c * p[..., 1]
+    return jnp.stack([x, y, p[..., 2]], axis=-1)
 
 
 def disp(p, phase, power):
@@ -225,6 +282,12 @@ def _entry_distance(scene, k, p):
         return sd_sea_box(q, jk[:3], jk[3])
     if shape == SdfShape.SIGGRAPH:
         return siggraph_obj(q)
+    if shape == SdfShape.TRIANGLE:
+        ax = scene.aux[i]
+        return ud_triangle(q, ax[0:3], ax[3:6], ax[6:9])
+    if shape == SdfShape.QUAD:
+        ax = scene.aux[i]
+        return ud_quad(q, ax[0:3], ax[3:6], ax[6:9], ax[9:12])
     raise ValueError(f"unknown SDF shape {shape}")
 
 

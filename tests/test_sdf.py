@@ -167,3 +167,105 @@ def test_image_gradients_finite_with_sdf():
         assert np.all(np.isfinite(np.asarray(t)))
     # color gradient of the SDF round box is nonzero (it is visible)
     assert np.abs(np.asarray(g[2])[7]).sum() > 0.0
+
+
+# ---------------------------------------------------------------------------
+# udTriangle / udQuad / opCheapBend (raytracer.glsl:537-610; VERDICT r1 #7)
+# ---------------------------------------------------------------------------
+
+TRI = np.asarray([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], np.float32)
+QUAD = np.asarray([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0],
+                   [1.0, 1.0, 0.0], [0.0, 1.0, 0.0]], np.float32)
+
+
+def test_ud_triangle_matches_cpu_ref():
+    p = np.asarray(pts(128, 21))
+    a, b, c = (jnp.asarray(v) for v in TRI)
+    dev = np.asarray(sdf.ud_triangle(jnp.asarray(p), a, b, c))
+    ref = np.array([cpu._ud_triangle(p[i], *TRI) for i in range(p.shape[0])])
+    np.testing.assert_allclose(dev, ref, atol=2e-5)
+    # face region: directly above the centroid -> plane distance
+    q = jnp.asarray([[0.25, 0.25, 0.5]])
+    np.testing.assert_allclose(float(sdf.ud_triangle(q, a, b, c)[0]), 0.5, atol=1e-6)
+    # edge region: beyond vertex b -> distance to b
+    q = jnp.asarray([[2.0, 0.0, 0.0]])
+    np.testing.assert_allclose(float(sdf.ud_triangle(q, a, b, c)[0]), 1.0, atol=1e-6)
+
+
+def test_ud_quad_matches_cpu_ref():
+    p = np.asarray(pts(128, 22))
+    a, b, c, d = (jnp.asarray(v) for v in QUAD)
+    dev = np.asarray(sdf.ud_quad(jnp.asarray(p), a, b, c, d))
+    ref = np.array([cpu._ud_quad(p[i], *QUAD) for i in range(p.shape[0])])
+    np.testing.assert_allclose(dev, ref, atol=2e-5)
+    # interior above -> plane distance
+    q = jnp.asarray([[0.5, 0.5, 0.7]])
+    np.testing.assert_allclose(float(sdf.ud_quad(q, a, b, c, d)[0]), 0.7, atol=1e-6)
+
+
+def test_op_cheap_bend_formula():
+    p = pts(32, 23, scale=0.3)
+    out = np.asarray(sdf.op_cheap_bend(p))
+    pn = np.asarray(p)
+    cth = np.cos(20.0 * pn[:, 1]); sth = np.sin(20.0 * pn[:, 1])
+    np.testing.assert_allclose(out[:, 0], cth * pn[:, 0] - sth * pn[:, 1], atol=1e-5)
+    np.testing.assert_allclose(out[:, 1], sth * pn[:, 0] + cth * pn[:, 1], atol=1e-5)
+    np.testing.assert_allclose(out[:, 2], pn[:, 2], atol=1e-6)
+    # bending preserves distance to the bend axis (it is a rotation in xy)
+    np.testing.assert_allclose(np.hypot(out[:, 0], out[:, 1]),
+                               np.hypot(pn[:, 0], pn[:, 1]), atol=1e-5)
+
+
+def _triangle_scene():
+    from raytracer0_tpu.models.scene import SceneBuilder
+    from raytracer0_tpu.models.materials import MeshType
+    sb = SceneBuilder()
+    sb.add("MAT_WHITE", MeshType.PLANE, (0.0, 1.0, 0.0), (2.0,))
+    sb.add("MAT_LIGHT_4", MeshType.SPHERE, (0.0, 1.5, 0.5), (0.4,))
+    # triangle in the z=0 plane at pos (0,0,0)
+    sb.add("MAT_YELLOW", MeshType.SDF, (0.0, 0.0, 0.0), (0.0,),
+           sdf_shape=SdfShape.TRIANGLE, aux=tuple(TRI.reshape(-1)))
+    # unit quad lifted to z=-1
+    sb.add("MAT_GREEN", MeshType.SDF, (0.0, 0.0, -1.0), (0.0,),
+           sdf_shape=SdfShape.QUAD, aux=tuple(QUAD.reshape(-1)))
+    return sb.build()
+
+
+def test_triangle_quad_march_and_cpu_parity():
+    scene = _triangle_scene()
+    s_np = cpu.scene_to_np(scene)
+    # ray down the +z axis onto the triangle's face region
+    o = jnp.asarray([[0.25, 0.25, 1.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0]])
+    t, idx, n, valid = sdf.march(scene, o, d, jnp.asarray([1e4]), CFG)
+    assert bool(valid[0])
+    np.testing.assert_allclose(float(t[0]), 1.0, atol=5e-3)
+    assert int(idx[0]) == 2  # first SDF entry (after 2 analytic rows)
+    res = cpu.sdf_march(s_np, np.asarray(o[0]), np.asarray(d[0]), 1e4, CFG)
+    assert res is not None
+    np.testing.assert_allclose(float(t[0]), res[0], atol=2e-3)
+    # continue through: next surface is the quad at z=-1 (ordinal 1)
+    o2 = jnp.asarray([[0.5, 0.5, -0.2]])
+    t2, idx2, _, valid2 = sdf.march(scene, o2, d, jnp.asarray([1e4]), CFG)
+    assert bool(valid2[0]) and int(idx2[0]) == 3
+    np.testing.assert_allclose(float(t2[0]), 0.8, atol=5e-3)
+
+
+def test_triangle_aux_gradients():
+    """IFT gradients flow into the aux vertex parameters: pushing the
+    whole triangle along +z (all three vertex z's) moves the hit surface
+    toward a ray marching in -z, so dt/d(aux_z) = -1 summed."""
+    scene = _triangle_scene()
+    o = jnp.asarray([[0.25, 0.25, 1.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0]])
+
+    def t_of_aux(aux):
+        s = scene.replace(aux=aux)
+        t, _, _, _ = sdf.march(s, o, d, jnp.asarray([1e4]), CFG)
+        return jnp.sum(t)
+
+    g = np.asarray(jax.grad(t_of_aux)(scene.aux))
+    assert np.all(np.isfinite(g))
+    # row 2 is the triangle; z-components of its 3 vertices at aux cols 2,5,8
+    np.testing.assert_allclose(g[2, 2] + g[2, 5] + g[2, 8], -1.0, atol=2e-2)
+    assert np.abs(g[3]).sum() < 1e-3  # quad untouched by this ray

@@ -48,6 +48,18 @@ def _build(args):
             sys.exit(f"error: unknown preset {args.preset!r}; "
                      f"available: {', '.join(PRESETS)}")
         scene, camera, cfg = PRESETS[args.preset](**overrides)
+
+    # user image assets (index.js:257-340): --tex a.png [b.png ...] fills
+    # the u_tex0..3 slots; --cubemap DIR loads right/left/top/bottom/
+    # front/back faces
+    if getattr(args, "tex", None):
+        from raytracer0_tpu.utils.image import load_texture_stack
+        import jax.numpy as jnp
+        scene = scene.replace(images=jnp.asarray(load_texture_stack(args.tex)))
+    if getattr(args, "cubemap", None):
+        from raytracer0_tpu.utils.image import load_cubemap_dir
+        import jax.numpy as jnp
+        scene = scene.replace(cubemap=jnp.asarray(load_cubemap_dir(args.cubemap)))
     return scene, camera, cfg
 
 
@@ -191,6 +203,11 @@ def main(argv=None):
         sp.add_argument("--restir", action="store_true")
         sp.add_argument("--spectral", action="store_true")
         sp.add_argument("--volumetrics", action="store_true")
+        sp.add_argument("--tex", nargs="+", metavar="PNG",
+                        help="up to 4 image textures for u_tex0..3")
+        sp.add_argument("--cubemap", metavar="DIR",
+                        help="directory with right/left/top/bottom/front/"
+                             "back.{png,jpg} cubemap faces")
 
     r = sub.add_parser("render")
     common(r)

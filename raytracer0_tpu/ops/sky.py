@@ -23,6 +23,37 @@ def procedural_sky(rd):
     return 0.5 + 0.5 * jnp.cos(TWO_PI * (_SKY_PHASE + _SKY_FREQ * h[..., None]))
 
 
+def default_cubemap(size: int = 64):
+    """Procedural fallback cubemap: the cosine-palette sky baked onto 6
+    faces, f32[6, size, size, 3] numpy.
+
+    The reference always ships a photographic cubemap (index.html:267-270);
+    scenes built without one here get this instead of a black environment
+    so `use_cubemap` presets render sensibly out of the box."""
+    import numpy as np
+    ax = (np.arange(size, dtype=np.float32) + 0.5) / size * 2.0 - 1.0
+    t, s = np.meshgrid(ax, ax, indexing="ij")  # t = v (down), s = u
+    one = np.ones_like(s)
+    # direction per face from the GL (s, t) conventions in sample_cubemap
+    dirs = {
+        0: (one, -t, -s),   # +x
+        1: (-one, -t, s),   # -x
+        2: (s, one, t),     # +y
+        3: (s, -one, -t),   # -y
+        4: (s, -t, one),    # +z
+        5: (-s, -t, -one),  # -z
+    }
+    faces = []
+    for f in range(6):
+        d = np.stack(dirs[f], axis=-1)
+        d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+        h = np.clip(d[..., 1] * 0.6 + 0.5, 0.3, 1.0)
+        phase = np.asarray([0.525, 0.408, 0.409], np.float32)
+        freq = np.asarray([0.9, 0.97, 0.8], np.float32)
+        faces.append(0.5 + 0.5 * np.cos(TWO_PI * (phase + freq * h[..., None])))
+    return np.stack(faces).astype(np.float32)
+
+
 def _bilinear_face(face_img, u, v):
     """Differentiable bilinear fetch on one face image [H, W, 3]; u, v in [0,1]."""
     h, w = face_img.shape[0], face_img.shape[1]

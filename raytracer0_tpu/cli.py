@@ -182,12 +182,19 @@ def cmd_presets(args):
 
 def main(argv=None):
     import os
+    import jax
     if os.environ.get("RT0_PLATFORM"):
         # Some environments pre-import JAX with a pinned platform before
         # user code runs; this override still works because backends
         # initialize lazily.
-        import jax
         jax.config.update("jax_platforms", os.environ["RT0_PLATFORM"])
+    # Persistent compile cache: repeat renders of the same (scene shape,
+    # config) skip XLA/Mosaic compilation entirely.
+    cache = os.environ.get("RT0_JAX_CACHE",
+                           os.path.expanduser("~/.cache/rt0_jax"))
+    if cache != "0":
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     p = argparse.ArgumentParser(prog="raytracer0_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)

@@ -99,6 +99,11 @@ class RenderConfig:
     # (scene, config, backend, image shape) supports it — 14x forward /
     # 41x fwd+bwd over the XLA wavefront path, bit-compatible output.
     use_megakernel: bool = True
+    # Fully unroll the megakernel's forward bounce loop when max_bounces
+    # is at most this; longer loops roll into a fori_loop (identical
+    # results — counter RNG keys on depth) to keep Mosaic compile time
+    # bounded.  The adjoint kernel always unrolls (vjp requirement).
+    megakernel_unroll_below: int = 7
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

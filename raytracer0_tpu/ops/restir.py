@@ -445,3 +445,20 @@ def render_sample(scene, cfg, camera, state, height, width, pass_idx,
         total = total + rad
     new_back = Reservoirs(**res_out)
     return total / cfg.samples_per_pass, new_back
+
+
+def render_sample_jit(scene, cfg, camera, state, height, width, pass_idx,
+                      time_s=0.0):
+    """jit-cached `render_sample`: pass index / time are traced, so a
+    multi-frame loop compiles once (the Renderer already gets this via
+    `render_pass`; direct callers and tests use this wrapper)."""
+    import jax
+    global _render_sample_jitted
+    if _render_sample_jitted is None:
+        _render_sample_jitted = jax.jit(
+            render_sample, static_argnames=("cfg", "height", "width"))
+    return _render_sample_jitted(scene, cfg, camera, state, height, width,
+                                 jnp.uint32(pass_idx), jnp.float32(time_s))
+
+
+_render_sample_jitted = None

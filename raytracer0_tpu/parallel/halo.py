@@ -54,32 +54,19 @@ def _pad_tree(tree, halo):
     return {k: exchange_halo_rows(v, halo) for k, v in tree.items()}
 
 
-def sharded_restir_render_pass(scene, camera, cfg, mesh, state, height, width,
-                               pass_idx=0, time_s=0.0):
-    """One ReSTIR render pass with rows sharded over the mesh and reservoir
-    halos exchanged over ICI.
-
-    Returns (radiance [H, W, 3], new_back Reservoirs), both row-sharded.
-    Row 0 of a shard's band is global row `shard * rows_per`; RNG and
-    raygen use global coordinates, so the result matches the single-chip
-    render wherever taps stay within the halo.
-    """
-    n = mesh.devices.size
-    if height % n:
-        raise ValueError(f"height {height} not divisible by {n}")
-    rows_per = height // n
-    if rows_per < HALO and n > 1:
-        raise ValueError(f"rows/shard {rows_per} < halo {HALO}")
-
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "mesh", "height", "width"))
+def _sharded_pass(scene, camera, back, hist1, hist2, pass_idx, time_s, *,
+                  cfg, mesh, height, width):
+    """jit-cached body of `sharded_restir_render_pass`: pass index and
+    time are traced so successive frames reuse one compile."""
     from raytracer0_tpu.render import integrator
     from raytracer0_tpu.render.renderer import _get_sdf_march
 
+    n = mesh.devices.size
+    rows_per = height // n
     scene_frame = scene_mod.animate_positions(scene, time_s, int(cfg.render_mode))
     sdf_march = _get_sdf_march(scene_frame)
-
-    back = restir_ops._res_tree(state.restir_back)
-    hist1 = restir_ops._res_tree(state.restir_hist1)
-    hist2 = restir_ops._res_tree(state.restir_hist2)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -110,5 +97,31 @@ def sharded_restir_render_pass(scene, camera, cfg, mesh, state, height, width,
             total = total + rad
         return total / cfg.samples_per_pass, res_out
 
-    radiance, res_out = _pass(scene_frame, camera, back, hist1, hist2)
+    return _pass(scene_frame, camera, back, hist1, hist2)
+
+
+def sharded_restir_render_pass(scene, camera, cfg, mesh, state, height, width,
+                               pass_idx=0, time_s=0.0):
+    """One ReSTIR render pass with rows sharded over the mesh and reservoir
+    halos exchanged over ICI.
+
+    Returns (radiance [H, W, 3], new_back Reservoirs), both row-sharded.
+    Row 0 of a shard's band is global row `shard * rows_per`; RNG and
+    raygen use global coordinates, so the result matches the single-chip
+    render wherever taps stay within the halo.
+    """
+    n = mesh.devices.size
+    if height % n:
+        raise ValueError(f"height {height} not divisible by {n}")
+    rows_per = height // n
+    if rows_per < HALO and n > 1:
+        raise ValueError(f"rows/shard {rows_per} < halo {HALO}")
+
+    back = restir_ops._res_tree(state.restir_back)
+    hist1 = restir_ops._res_tree(state.restir_hist1)
+    hist2 = restir_ops._res_tree(state.restir_hist2)
+    radiance, res_out = _sharded_pass(
+        scene, camera, back, hist1, hist2,
+        jnp.uint32(pass_idx), jnp.float32(time_s),
+        cfg=cfg, mesh=mesh, height=height, width=width)
     return radiance, Reservoirs(**res_out)

@@ -11,6 +11,8 @@ we must update jax.config before any backend is initialized.
 
 import os
 
+import pytest
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -18,3 +20,21 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache: the suite is compile-bound on small hosts;
+# warm CI runs skip almost all of it (also used by the CLI, config.py).
+_CACHE = os.environ.get("RT0_JAX_CACHE",
+                        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Tests marked `slow` only run with RT0_RUN_SLOW=1 (CI keeps the
+    default suite under budget; the slow tier is the exhaustive one)."""
+    if os.environ.get("RT0_RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow: set RT0_RUN_SLOW=1 to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

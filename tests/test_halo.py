@@ -1,11 +1,19 @@
 """Halo exchange: sharded ReSTIR must match the single-device render
-exactly (taps never exceed the 16-row halo; RNG is global-coordinate)."""
+exactly (taps never exceed the 16-row halo; RNG is global-coordinate).
+
+Adversarial regimes (VERDICT r1 weak #7): >=4 shards, minimum-height
+bands (rows_per == HALO, so every band-edge pixel's far Poisson taps
+reach deep into neighbor shards), enough frames that temporal reuse
+(engages at pass_idx > MAX_TEMPORAL_SAMPLES) and the full spatial tap
+set (pass_idx >= 10) are both live, and animated-mode reprojection.
+"""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
-from raytracer0_tpu.models.presets import restir_demo
+from raytracer0_tpu.models.presets import restir_demo, animated_restir
 from raytracer0_tpu.ops import restir as restir_ops
 from raytracer0_tpu.parallel import halo, sharding
 from raytracer0_tpu.render.state import RenderState
@@ -34,26 +42,76 @@ def test_exchange_halo_rows_layout():
     np.testing.assert_array_equal(out[3, -2:, 0], [0.0, 0.0])
 
 
+def _run_both(scene, cam, cfg, H, W, n_shards, frames, time_fn=lambda p: 0.0):
+    """Render `frames` ReSTIR passes single-device and row-sharded;
+    returns (last radiance, final state) for each."""
+    state = RenderState.create(H, W)
+    for p in range(frames):
+        rad_s, back_s = restir_ops.render_sample_jit(
+            scene, cfg, cam, state, H, W, p, time_fn(p))
+        state = state.rotate_reservoirs(back_s)
+
+    mesh = sharding.make_tile_mesh(n_shards)
+    state_m = RenderState.create(H, W)
+    for p in range(frames):
+        rad_m, back_m = halo.sharded_restir_render_pass(
+            scene, cam, cfg, mesh, state_m, H, W, p, time_fn(p))
+        state_m = state_m.rotate_reservoirs(back_m)
+    return (rad_s, state), (rad_m, state_m)
+
+
+def _assert_match(single, sharded):
+    (rad_s, st_s), (rad_m, st_m) = single, sharded
+    np.testing.assert_allclose(np.asarray(rad_m), np.asarray(rad_s), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_m.restir_back.m),
+                               np.asarray(st_s.restir_back.m), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_m.restir_back.w),
+                               np.asarray(st_s.restir_back.w), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st_m.restir_back.weight_sum),
+                               np.asarray(st_s.restir_back.weight_sum),
+                               atol=1e-3)
+    li_s = np.asarray(st_s.restir_back.light_index)
+    li_m = np.asarray(st_m.restir_back.light_index)
+    assert (li_s == li_m).mean() > 0.999
+
+
 def test_sharded_restir_matches_single_device():
     scene, cam, cfg = restir_demo()
     cfg = cfg.replace(max_bounces=2, restir_samples=4, marching_steps=16)
     H, W = 64, 32
+    single, sharded = _run_both(scene, cam, cfg, H, W, n_shards=2, frames=2)
+    _assert_match(single, sharded)
 
-    state = RenderState.create(H, W)
-    # two frames to populate back + hist1 so all phases engage
-    for p in range(2):
-        rad_s, back_s = restir_ops.render_sample(scene, cfg, cam, state, H, W, p)
-        state = state.rotate_reservoirs(back_s)
 
-    mesh = sharding.make_tile_mesh(2)
-    state_m = RenderState.create(H, W)
-    for p in range(2):
-        rad_m, back_m = halo.sharded_restir_render_pass(
-            scene, cam, cfg, mesh, state_m, H, W, p)
-        state_m = state_m.rotate_reservoirs(back_m)
+def test_four_shards_min_band_full_phases():
+    """4 shards x 16 rows (rows_per == HALO): the far Poisson taps
+    (|dy| up to 15 rows) from every band-edge pixel land in a neighbor
+    shard.  11 frames so temporal reuse (pass > 2) and the full spatial
+    tap set (pass >= 10) are both exercised across the halo."""
+    scene, cam, cfg = restir_demo()
+    cfg = cfg.replace(max_bounces=2, restir_samples=4, marching_steps=16)
+    H, W = 64, 16
+    single, sharded = _run_both(scene, cam, cfg, H, W, n_shards=4, frames=11)
+    _assert_match(single, sharded)
+    # the run must actually produce live reservoirs for this to mean much
+    assert float(jnp.mean(single[1].restir_back.m)) > 0.5
 
-    np.testing.assert_allclose(np.asarray(rad_m), np.asarray(rad_s), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(state_m.restir_back.m),
-                               np.asarray(state.restir_back.m), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(state_m.restir_back.w),
-                               np.asarray(state.restir_back.w), atol=1e-4)
+
+def test_animated_reprojection_across_shards():
+    """Animated mode: temporal reprojection refreshes stored light data
+    from the current animation and taps at motion-offset coordinates
+    (raytracer.glsl:1669-1676, 1486-1496) — must stay shard-exact."""
+    scene, cam, cfg = animated_restir()
+    cfg = cfg.replace(max_bounces=2, restir_samples=4, marching_steps=16)
+    H, W = 64, 16
+    single, sharded = _run_both(scene, cam, cfg, H, W, n_shards=4, frames=5,
+                                time_fn=lambda p: 0.15 * p)
+    _assert_match(single, sharded)
+
+
+def test_min_band_guard():
+    scene, cam, cfg = restir_demo()
+    mesh = sharding.make_tile_mesh(8)
+    state = RenderState.create(64, 16)  # 8 rows/shard < HALO
+    with pytest.raises(ValueError):
+        halo.sharded_restir_render_pass(scene, cam, cfg, mesh, state, 64, 16)

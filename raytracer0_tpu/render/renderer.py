@@ -60,6 +60,20 @@ def _megakernel_ok(scene, cfg, height, width, restir_sampler):
         return False
 
 
+def _megakernel_restir_ok(scene, cfg, height, width):
+    """Dispatch gate for the split ReSTIR fast path (forward-only)."""
+    if not cfg.use_megakernel:
+        return False
+    from raytracer0_tpu.ops import megakernel
+    if not (megakernel.supported_restir(scene, cfg)
+            and megakernel.supports_shape(height, width)):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
 def sample_radiance(scene, cfg: RenderConfig, camera: Camera,
                     height: int, width: int, pass_idx, time_s=0.0,
                     restir_sampler=None, row0=0, full_height=None):
@@ -96,7 +110,13 @@ def render_pass(scene, camera: Camera, cfg: RenderConfig,
     if restir is not None:
         # ReSTIR-enabled passes produce a new reservoir buffer as a second
         # output; ops.restir wires the integrator hook and phase pipeline.
-        radiance, new_back = restir.render_sample(
+        # On TPU with a supported scene the split Pallas fast path runs:
+        # G-buffer megakernel + XLA reservoir phases + cast_rays shadows.
+        if _megakernel_restir_ok(scene, cfg, height, width):
+            render_fn = restir.render_sample_fast
+        else:
+            render_fn = restir.render_sample
+        radiance, new_back = render_fn(
             scene, cfg, camera, state, height, width, state.passes, time_s)
         state = state.rotate_reservoirs(new_back)
     else:

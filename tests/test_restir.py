@@ -8,6 +8,7 @@ with plain NEE on the same scene.
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from raytracer0_tpu.models.presets import restir_demo
 from raytracer0_tpu.ops import restir
@@ -136,3 +137,71 @@ def test_restir_state_rotation():
     r.step()
     # previous back is now hist1
     np.testing.assert_array_equal(np.asarray(r.state.restir_hist1.m), first_back)
+
+
+def test_cast_rays_matches_intersect_interpret():
+    """The fused Pallas nearest-hit kernel (shadow rays for the ReSTIR
+    fast path) vs the XLA intersector, identical (t, idx, missed)."""
+    import os
+
+    from raytracer0_tpu.models.camera import generate_rays
+    from raytracer0_tpu.ops import intersect as isect
+    from raytracer0_tpu.ops import megakernel
+
+    scene, cam, cfg = restir_demo()
+    H, W = 8, 128
+    ro, rd = generate_rays(cam, H, W, 0)
+    hit = isect.intersect(scene, ro, rd, cfg, need_normal=False,
+                          need_uv=False)
+    os.environ["RT0_PALLAS_INTERPRET"] = "1"
+    try:
+        t, idx, missed = megakernel.cast_rays(scene, cfg, ro, rd)
+    finally:
+        del os.environ["RT0_PALLAS_INTERPRET"]
+    t, idx, missed = np.asarray(t), np.asarray(idx), np.asarray(missed)
+    rt, ridx, rmiss = (np.asarray(hit.t), np.asarray(hit.idx),
+                       np.asarray(hit.missed))
+    # Silhouette-edge rays may resolve a different winner under f32
+    # reassociation (the Pallas march reorders the SDF fold); everywhere
+    # else (t, idx, missed) must agree exactly.
+    agree = (idx == ridx) & (missed == rmiss)
+    assert agree.mean() > 0.995, agree.mean()
+    ok = np.abs(t - rt) < 1e-4
+    assert (ok | rmiss | ~agree).all()
+
+
+@pytest.mark.slow
+def test_fast_path_matches_wavefront():
+    """render_sample_fast (G-buffer megakernel + XLA reservoir phases +
+    cast_rays shadows) vs render_sample (XLA wavefront), same RNG streams
+    → per-pixel agreement to f32 reassociation, across reservoir
+    rotation (VERDICT r1 next #1 done-criterion).
+
+    slow: two full interpret-mode renders (~2 min on 2 CPU cores)."""
+    import os
+
+    from raytracer0_tpu.models.presets import restir_demo as _demo
+
+    scene, cam, cfg = _demo()
+    cfg = cfg.replace(max_bounces=2, samples_per_pass=1, max_diff_bounces=2)
+    H, W = 8, 128
+
+    def run(fn):
+        st = RenderState.create(H, W)
+        outs = []
+        for p in range(2):
+            rad, nb = fn(scene, cfg, cam, st, H, W, p)
+            st = st.rotate_reservoirs(nb)
+            outs.append(np.asarray(rad))
+        return outs
+
+    ref = run(restir.render_sample)
+    os.environ["RT0_PALLAS_INTERPRET"] = "1"
+    try:
+        fast = run(restir.render_sample_fast)
+    finally:
+        del os.environ["RT0_PALLAS_INTERPRET"]
+    for a, b in zip(ref, fast):
+        err = np.abs(a - b)
+        assert err.max() < 5e-3, err.max()
+        assert np.median(err) < 1e-6

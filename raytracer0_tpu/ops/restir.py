@@ -39,6 +39,7 @@ ONE_OVER_PI = 0.31830989
 
 # Constants (raytracer.glsl:1266-1273).
 RESTIR_SPATIAL_SAMPLES = 8
+_FORCE_GATHER_TAPS = False  # test hook: disable the static-roll tap path
 SPATIAL_RADIUS = 16.0
 TEMPORAL_ALPHA = 0.95
 MAX_RESERVOIR_AGE = 30.0
@@ -62,6 +63,26 @@ def empty_reservoir(batch):
         age=jnp.zeros(batch, jnp.float32),
         light_index=jnp.full(batch, -1, jnp.int32),
     )
+
+
+def _pack_res(tree):
+    """Reservoir dict → one [..., 11] f32 array (pos, color, weight_sum,
+    m, w, age, light_index).  Neighbor taps on TPU cost per *gather op*,
+    not per byte — packing turns 7 gathers into 1 with a contiguous
+    minor dim (measured 4x cheaper at 512²).  light_index values are
+    tiny ints, exact through the f32 roundtrip."""
+    return jnp.concatenate([
+        tree["light_pos"], tree["light_color"],
+        tree["weight_sum"][..., None], tree["m"][..., None],
+        tree["w"][..., None], tree["age"][..., None],
+        tree["light_index"].astype(jnp.float32)[..., None]], axis=-1)
+
+
+def _unpack_res(p):
+    return dict(
+        light_pos=p[..., 0:3], light_color=p[..., 3:6],
+        weight_sum=p[..., 6], m=p[..., 7], w=p[..., 8], age=p[..., 9],
+        light_index=p[..., 10].astype(jnp.int32))
 
 
 def _where_res(cond, a, b):
@@ -317,15 +338,37 @@ def reservoir_direct(scene, cfg, back, hist, x, nl, mat_idx, pix,
     (direct radiance *excluding* the throughput mask, reservoir dict).
     """
     local_h = back["m"].shape[0]
+    # Taps read the packed [local_h, W, 11] form (see _pack_res): one
+    # gather/roll per tap instead of seven.
+    back_p = _pack_res(back)
+    hist_p = [_pack_res(h) for h in hist]
 
-    def band_gather(tree, grow, gcol):
+    def band_gather(packed, grow, gcol):
         """Gather at global (row, col); returns (fields, in_band mask)."""
         lr = grow - row0 + pad
         in_band = (lr >= 0) & (lr < local_h)
         lr = jnp.clip(lr, 0, local_h - 1)
-        return {k: v[lr, gcol] for k, v in tree.items()}, in_band
+        return _unpack_res(packed[lr, gcol]), in_band
 
     batch = x.shape[:-1]
+    # The spatial Poisson taps have *static* pixel offsets, and both
+    # callers shade a row-major [rows, width] grid (render_sample* via
+    # rng.pixel_ids; the sharded sampler via the shard's band of it), so
+    # output pixel (p, c) reads band cell (p + pad + drow, c + dcol): a
+    # roll (two slices on TPU) instead of a per-pixel gather.  XLA
+    # gathers dominated the reservoir phases on TPU (~30 ms of a 512²
+    # pass); rolls make the taps bandwidth-cost only.  Wrapped lanes are
+    # rejected by the in_band / in-bounds masks, matching band_gather's
+    # clip-then-mask semantics.
+    grid_tap = (len(batch) == 2 and batch[1] == width
+                and not _FORCE_GATHER_TAPS)
+
+    def band_tap_static(packed, drow, dcol):
+        """Neighbor tap at a compile-time (drow, dcol) offset."""
+        lr = jnp.arange(batch[0])[:, None] + (pad + drow)
+        in_band = jnp.broadcast_to((lr >= 0) & (lr < local_h), batch)
+        out = jnp.roll(packed, (-(pad + drow), -dcol), axis=(0, 1))[:batch[0]]
+        return _unpack_res(out), in_band
     rows = (pix // jnp.uint32(width)).astype(jnp.int32)
     cols = (pix % jnp.uint32(width)).astype(jnp.int32)
     L = scene.num_lights
@@ -341,10 +384,12 @@ def reservoir_direct(scene, cfg, back, hist, x, nl, mat_idx, pix,
         li = jnp.maximum(scene.light_idx[slot], 0)
         return scene.pos[li], scene.color[li] * scene.emission[li]
 
+    import os as _os
+    _ablate = set(_os.environ.get("RT0_RESTIR_ABLATE", "").split(","))
     # ---- Phase 1: candidate generation (1630-1654) ----
     res = empty_reservoir(batch)
     eff = min(cfg.restir_samples, max(4, L))
-    for i in range(eff):
+    for i in range(0 if 'candidates' in _ablate else eff):
         r1, r2 = rng.uniform2(pix, pass_idx, sample_idx, depth, i,
                               rng.Stream.RESTIR_CANDIDATE)
         slot = jnp.clip((r1 * L).astype(jnp.int32), 0, L - 1)
@@ -356,7 +401,7 @@ def reservoir_direct(scene, cfg, back, hist, x, nl, mat_idx, pix,
 
     # ---- Phase 2: temporal reuse, 2 history levels (1656-1709) ----
     frame_ok = pass_idx > MAX_TEMPORAL_SAMPLES
-    for level in range(MAX_TEMPORAL_SAMPLES):
+    for level in range(0 if 'temporal' in _ablate else MAX_TEMPORAL_SAMPLES):
         ju, jv = rng.uniform2(pix, pass_idx, sample_idx, depth, level,
                               rng.Stream.RESTIR_TEMPORAL)
         # ad-hoc motion vector + jitter reprojection (1486-1496)
@@ -368,7 +413,7 @@ def reservoir_direct(scene, cfg, back, hist, x, nl, mat_idx, pix,
         in_bounds = (uv_x > 0.01) & (uv_x < 0.99) & (uv_y > 0.01) & (uv_y < 0.99)
         pr = jnp.clip((uv_y * height).astype(jnp.int32), 0, height - 1)
         pc = jnp.clip((uv_x * width).astype(jnp.int32), 0, width - 1)
-        h_res, in_band = band_gather(hist[level], pr, pc)
+        h_res, in_band = band_gather(hist_p[level], pr, pc)
 
         ok = is_valid_reservoir(h_res, L) & in_bounds & in_band & frame_ok
         ok &= (h_res["m"] > 0.0) & (h_res["age"] < MAX_RESERVOIR_AGE)
@@ -403,16 +448,20 @@ def reservoir_direct(scene, cfg, back, hist, x, nl, mat_idx, pix,
     if L > 10:
         n_spatial = max(4, n_spatial // 2)
     few_frames = jnp.asarray(pass_idx) < 10  # traced; handled via mask below
-    for i in range(n_spatial):
+    for i in range(0 if 'spatial' in _ablate else n_spatial):
         s1, s2 = rng.uniform2(pix, pass_idx, sample_idx, depth, i,
                               rng.Stream.RESTIR_SPATIAL)
         dx, dy = POISSON_DISK[i]
-        nr = rows + jnp.int32(round(dy * SPATIAL_RADIUS))
-        ncol = cols + jnp.int32(round(dx * SPATIAL_RADIUS))
+        drow = int(round(dy * SPATIAL_RADIUS))
+        dcol = int(round(dx * SPATIAL_RADIUS))
+        nr = rows + drow
+        ncol = cols + dcol
         in_b = (nr >= 0) & (nr < height) & (ncol >= 0) & (ncol < width)
-        nr = jnp.clip(nr, 0, height - 1)
-        ncol = jnp.clip(ncol, 0, width - 1)
-        n_res, in_band = band_gather(back, nr, ncol)
+        if grid_tap:
+            n_res, in_band = band_tap_static(back_p, drow, dcol)
+        else:
+            n_res, in_band = band_gather(back_p, jnp.clip(nr, 0, height - 1),
+                                         jnp.clip(ncol, 0, width - 1))
 
         ok = in_b & in_band & (n_res["m"] > 0.0)
         # warm-up halving (1721-1723): first frames use every other tap

@@ -86,11 +86,11 @@ def cmd_render(args):
             r.state = checkpoint.load(args.resume, scene=scene, cfg=cfg)
             print(f"resumed at pass {int(r.state.passes)}", file=sys.stderr)
         timer = RenderTimer(h, w, cfg.samples_per_pass, cfg.max_bounces)
-        import jax
+        from raytracer0_tpu.utils.profiling import sync
         for p in range(args.passes):
             with timer:
-                # block inside the timed region: step() is async dispatch
-                jax.block_until_ready(r.step(time_s=args.time))
+                # sync inside the timed region: step() is async dispatch
+                sync(r.step(time_s=args.time))
             if args.checkpoint and (p + 1) % args.checkpoint_every == 0:
                 from raytracer0_tpu.parallel import checkpoint
                 checkpoint.save(args.checkpoint, r.state, scene=scene, cfg=cfg)
@@ -127,14 +127,16 @@ def cmd_benchmark(args):
     bwd = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
     a = (scene.color, scene.emission, scene.pos, scene.joker)
 
+    from raytracer0_tpu.utils.profiling import sync
+
     out = {}
     for name, fn, fargs in [("forward", fwd, lambda i: (i,)),
                             ("fwd+bwd", bwd, lambda i: a + (i,))]:
-        jax.block_until_ready(fn(*fargs(0)))
+        sync(fn(*fargs(0)))
         t0 = time.perf_counter()
         for i in range(args.passes):
             r = fn(*fargs(i + 1))
-        jax.block_until_ready(r)
+        sync(r)
         dt = (time.perf_counter() - t0) / args.passes
         rays = h * w * cfg.samples_per_pass * cfg.max_bounces
         out[name] = {"ms": round(dt * 1e3, 2), "rays_per_s": round(rays / dt)}

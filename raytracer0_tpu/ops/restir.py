@@ -25,6 +25,7 @@ colors and the final shading are differentiable.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from raytracer0_tpu import rng
@@ -83,6 +84,18 @@ def _unpack_res(p):
         light_pos=p[..., 0:3], light_color=p[..., 3:6],
         weight_sum=p[..., 6], m=p[..., 7], w=p[..., 8], age=p[..., 9],
         light_index=p[..., 10].astype(jnp.int32))
+
+
+def _row_select(idx, table):
+    """Per-lane row lookup into a tiny [n, C] f32 table as a one-hot
+    contraction instead of an XLA gather.  A TPU gather costs ~2 ms per
+    *op* at 512² regardless of table size (measured); the contraction is
+    a fused compare + MXU matmul.  precision=highest keeps it bit-exact
+    (1.0 × v accumulated in f32)."""
+    n = table.shape[0]
+    oh = (idx[..., None] == jnp.arange(n, dtype=idx.dtype)).astype(jnp.float32)
+    return jnp.einsum("...n,nc->...c", oh, table,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _where_res(cond, a, b):
@@ -211,7 +224,9 @@ def is_visible(scene, cfg, from_pos, to_pos, sdf_march=None, cast_fn=None):
     sdir = sd / dist[..., None]
     t, idx, missed = cast_fn(from_pos + sdir * (cfg.epsilon * 2.0), sdir)
     blocked = (t < dist - cfg.epsilon * 2.0) & ~missed
-    blocker_is_light = scene.mat_type[idx] == MatType.LIGHT
+    is_light_tab = (scene.mat_type == MatType.LIGHT)
+    blocker_is_light = _row_select(
+        idx, is_light_tab.astype(jnp.float32)[:, None])[..., 0] > 0.0
     return close | ~blocked | (blocked & blocker_is_light)
 
 
@@ -259,11 +274,17 @@ def _shade_selected(scene, cfg, slot_map, x, nl, pix, pass_idx, sample_idx,
     if cast_fn is None:
         cast_fn = _default_cast(scene, cfg, sdf_march)
     slot = jnp.clip(slot_map, 0, scene.num_lights - 1)
-    li = jnp.maximum(scene.light_idx[slot], 0)
 
-    l_pos = scene.pos[li]
-    l_joker = scene.joker[li]
-    is_sphere = scene.mesh_type[li] == MeshType.SPHERE
+    # Light-slot properties via one-hot row select (see _row_select).
+    li_arr = jnp.maximum(scene.light_idx, 0)
+    shade_tab = jnp.concatenate([
+        scene.pos[li_arr], scene.joker[li_arr],
+        (scene.mesh_type[li_arr] == MeshType.SPHERE)
+        .astype(jnp.float32)[:, None]], axis=-1)
+    srow = _row_select(slot, shade_tab)
+    l_pos = srow[..., 0:3]
+    l_joker = srow[..., 3:7]
+    is_sphere = srow[..., 7] > 0.0
 
     u1, u2 = rng.uniform2(pix, pass_idx, sample_idx, depth,
                           rng.Stream.NEE_CONE, 77)
@@ -280,8 +301,14 @@ def _shade_selected(scene, cfg, slot_map, x, nl, pix, pass_idx, sample_idx,
 
     sr_dir = vm.where3(is_sphere, dir_sphere, dir_sdf)
     t, idx, missed = cast_fn(x + nl * cfg.epsilon, sr_dir)
-    hit_is_light = (scene.mat_type[idx] == MatType.LIGHT) & ~missed
-    lit_c = jnp.maximum(scene.color[idx], 0.001)
+    cast_tab = jnp.concatenate([
+        scene.color, scene.emission,
+        (scene.mat_type == MatType.LIGHT).astype(jnp.float32)[:, None]],
+        axis=-1)
+    crow = _row_select(idx, cast_tab)
+    hit_is_light = (crow[..., 6] > 0.0) & ~missed
+    lit_c = jnp.maximum(crow[..., 0:3], 0.001)
+    lit_e = crow[..., 3:6]
     cos_term = jnp.maximum(0.001, vm.vdot(sr_dir, nl))
     if cfg.use_volumetrics:
         t_fog = jnp.exp(-cfg.vol_sigma_t * t)
@@ -289,7 +316,7 @@ def _shade_selected(scene, cfg, slot_map, x, nl, pix, pass_idx, sample_idx,
         t_fog = jnp.ones_like(t)
     weight = jnp.where(is_sphere, 2.0 * (1.0 - cos_a_max), 1.0)
     fog = jnp.where(is_sphere, t_fog, 1.0)
-    contrib = lit_c * scene.emission[idx] * (weight * cos_term * fog)[..., None]
+    contrib = lit_c * lit_e * (weight * cos_term * fog)[..., None]
     return jnp.where(hit_is_light[..., None], contrib, 0.0)
 
 
@@ -374,15 +401,29 @@ def reservoir_direct(scene, cfg, back, hist, x, nl, mat_idx, pix,
     L = scene.num_lights
     animated = int(cfg.render_mode) == 1
 
-    mat_c = scene.color[mat_idx]
-    mat_nt = jnp.abs(scene.ior[mat_idx])
-    mat_ty = scene.mat_type[mat_idx]
+    # Winner-mesh material via one-hot row select (_row_select): per-lane
+    # gathers from these tiny tables dominated the candidate phase.
+    mesh_tab = jnp.concatenate([
+        scene.color, jnp.abs(scene.ior)[:, None],
+        scene.mat_type.astype(jnp.float32)[:, None]], axis=-1)
+    mrow = _row_select(mat_idx, mesh_tab)
+    mat_c = mrow[..., 0:3]
+    mat_nt = mrow[..., 3]
+    mat_ty = mrow[..., 4].astype(jnp.int32)
+
+    # Light-slot table: pos, color*emission, validity.  The [L]-sized
+    # gathers building it are array-level (cheap); per-lane lookups then
+    # take the one-hot path.  Scene is pre-animated by render_sample, so
+    # positions are already the getAnimatedPosition values (1645, 1672).
+    li_arr = jnp.maximum(scene.light_idx, 0)
+    light_tab = jnp.concatenate([
+        scene.pos[li_arr],
+        scene.color[li_arr] * scene.emission[li_arr],
+        (scene.light_idx >= 0).astype(jnp.float32)[:, None]], axis=-1)
 
     def light_data(slot):
-        # scene is pre-animated by render_sample, so current positions
-        # are already the getAnimatedPosition values (1645, 1672).
-        li = jnp.maximum(scene.light_idx[slot], 0)
-        return scene.pos[li], scene.color[li] * scene.emission[li]
+        row = _row_select(slot, light_tab)
+        return row[..., 0:3], row[..., 3:6], row[..., 6] > 0.0
 
     import os as _os
     _ablate = set(_os.environ.get("RT0_RESTIR_ABLATE", "").split(","))
@@ -393,10 +434,9 @@ def reservoir_direct(scene, cfg, back, hist, x, nl, mat_idx, pix,
         r1, r2 = rng.uniform2(pix, pass_idx, sample_idx, depth, i,
                               rng.Stream.RESTIR_CANDIDATE)
         slot = jnp.clip((r1 * L).astype(jnp.int32), 0, L - 1)
-        li = scene.light_idx[slot]
-        lp, lc = light_data(slot)
+        lp, lc, l_ok = light_data(slot)
         tv = evaluate_target(lp, lc, x, nl, mat_c, mat_nt, mat_ty)
-        tv = jnp.where(li >= 0, tv, 0.0)
+        tv = jnp.where(l_ok, tv, 0.0)
         res = update_reservoir(res, lp, lc, slot, tv, r2)
 
     # ---- Phase 2: temporal reuse, 2 history levels (1656-1709) ----
@@ -421,7 +461,7 @@ def reservoir_direct(scene, cfg, back, hist, x, nl, mat_idx, pix,
         if animated:
             # refresh stored light data from current animation (1669-1676)
             slot_h = jnp.clip(h_res["light_index"], 0, L - 1)
-            lp_now, lc_now = light_data(slot_h)
+            lp_now, lc_now, _ = light_data(slot_h)
             valid_slot = h_res["light_index"] >= 0
             h_res["light_pos"] = vm.where3(valid_slot, lp_now, h_res["light_pos"])
             h_res["light_color"] = vm.where3(valid_slot, lc_now, h_res["light_color"])

@@ -22,6 +22,20 @@ from typing import Optional
 import jax
 
 
+def sync(tree):
+    """Wait for the device work producing `tree` by host-fetching one
+    element per leaf.  `jax.block_until_ready` returns before remote
+    execution finishes on tunneled-TPU platforms (measured on this
+    container's "axon" backend: a 10 x 500 ms chain "completed" in
+    1.2 ms), so every timer in the framework syncs via transfer — a
+    few bytes per leaf, negligible against any timed pass."""
+    import numpy as np
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "ndim"):
+            np.asarray(leaf[(slice(0, 1),) * leaf.ndim])
+    return tree
+
+
 @dataclass
 class RenderTimer:
     """Per-pass wall-clock timing.

@@ -83,6 +83,11 @@ class Scene:
     mesh_types_static: tuple = struct.field(pytree_node=False, default=())
     mat_types_static: tuple = struct.field(pytree_node=False, default=())
     lights_static: tuple = struct.field(pytree_node=False, default=())
+    # Per-mesh texture type and (color-tex, emission-tex) opts — static
+    # like the types above (the reference folds them into the generated
+    # GLSL constants); lets ops.megakernel specialize texture evaluation.
+    tex_types_static: tuple = struct.field(pytree_node=False, default=())
+    opts_static: tuple = struct.field(pytree_node=False, default=())
 
     @property
     def num_meshes(self) -> int:
@@ -240,6 +245,8 @@ class SceneBuilder:
             mesh_types_static=tuple(int(t) for t in mesh_type),
             mat_types_static=tuple(int(t) for t in mat_type),
             lights_static=tuple(int(i) for i in lights),
+            tex_types_static=tuple(int(t) for t in tex_type),
+            opts_static=tuple((bool(o[0]), bool(o[1])) for o in opts),
         )
 
 

@@ -50,7 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from raytracer0_tpu import rng as rng_mod
 from raytracer0_tpu.config import RenderConfig, RenderMode
-from raytracer0_tpu.models.materials import MatType, MeshType, SdfShape
+from raytracer0_tpu.models.materials import MatType, MeshType, SdfShape, TexType
 
 BLOCK_ROWS = 8
 BLOCK_COLS = 128
@@ -102,6 +102,134 @@ def _uniform(*coords):
 def _uniform2(*coords):
     h = _fold(*coords)
     return _u01(h), _u01(_pcg(h))
+
+
+# ----------------------------------------------------------------------
+# in-kernel procedural textures (ops/textures.get_texel semantics,
+# raytracer.glsl:726-772) on component tuples.
+#
+# The noise LUT *is* counter-hash data — rng.noise_lut(size=256, seed=7)
+# fills texel (row, col, ch) with uniform(row, col, ch, 7) (rng.py:
+# 132-142) — so the kernel recomputes texels pointwise with the same
+# hash instead of gathering: Mosaic has no per-lane VMEM gather, and the
+# recomputation is bit-identical to the XLA path's LUT fetch.
+# ----------------------------------------------------------------------
+
+#: Texture types the kernel evaluates; IMAGE0-3 stay on the XLA path
+#: (real image data needs per-lane gathers).
+_TEX_KERNEL_OK = frozenset(int(t) for t in (
+    TexType.CHECK, TexType.RIPPLE, TexType.VORONOI,
+    TexType.GRADIENT_NOISE, TexType.VALUE_NOISE, TexType.METAL))
+#: UV-based types: sphere UVs need asin/atan2 (no Mosaic lowering), so
+#: spheres carrying these fall back to the XLA path too.
+_TEX_UV_TYPES = frozenset((int(TexType.CHECK), int(TexType.RIPPLE),
+                           int(TexType.IMAGE0), int(TexType.IMAGE1),
+                           int(TexType.IMAGE2), int(TexType.IMAGE3)))
+
+
+def _lut_texel(y, x, ch):
+    """rng.noise_lut texel via hash recompute; y/x int32 in [0, 256)."""
+    return _uniform(y, x, np.uint32(ch), np.uint32(7))
+
+
+def _lut_bilinear_k(u, v, ch):
+    """ops/noise._lut_bilinear single-channel fetch (REPEAT wrap)."""
+    x0f = jnp.floor(u)
+    y0f = jnp.floor(v)
+    fx = u - x0f
+    fy = v - y0f
+    x0 = x0f.astype(jnp.int32) & 255
+    y0 = y0f.astype(jnp.int32) & 255
+    x1 = (x0 + 1) & 255
+    y1 = (y0 + 1) & 255
+    c00 = _lut_texel(y0, x0, ch)
+    c01 = _lut_texel(y0, x1, ch)
+    c10 = _lut_texel(y1, x0, ch)
+    c11 = _lut_texel(y1, x1, ch)
+    return (c00 * (1 - fx) + c01 * fx) * (1 - fy) + \
+        (c10 * (1 - fx) + c11 * fx) * fy
+
+
+def _value_noise_k(p):
+    """ops/noise.value_noise (raytracer.glsl:393-401)."""
+    i0, i1, i2 = jnp.floor(p[0]), jnp.floor(p[1]), jnp.floor(p[2])
+    f0, f1, f2 = p[0] - i0, p[1] - i1, p[2] - i2
+    f0 = f0 * f0 * (3.0 - 2.0 * f0)
+    f1 = f1 * f1 * (3.0 - 2.0 * f1)
+    f2 = f2 * f2 * (3.0 - 2.0 * f2)
+    u = (i0 + 37.0 * i2) + f0
+    v = (i1 + 17.0 * i2) + f1
+    g = _lut_bilinear_k(u, v, 1)
+    r = _lut_bilinear_k(u, v, 0)
+    return g + (r - g) * f2
+
+
+def _metal_fbm_k(q):
+    """ops/noise.metal_fbm (raytracer.glsl:762-768)."""
+    m = (-1.2, 1.99, -1.6)
+    f = 0.5 * _value_noise_k(q)
+    q = (m[0] * q[0] * 2.01, m[1] * q[1] * 2.01, m[2] * q[2] * 2.01)
+    f = f + 0.25 * _value_noise_k(q)
+    q = (m[0] * q[0] * 2.02, m[1] * q[1] * 2.02, m[2] * q[2] * 2.02)
+    return f + 0.125 * _value_noise_k(q)
+
+
+def _voronoi_k(x):
+    """ops/noise.voronoi (raytracer.glsl:404-433) → (sqrt F1, sqrt F2, id)."""
+    p0, p1, p2 = jnp.floor(x[0]), jnp.floor(x[1]), jnp.floor(x[2])
+    f0, f1c, f2c = x[0] - p0, x[1] - p1, x[2] - p2
+    F1 = jnp.full_like(x[0], 100.0)
+    F2 = jnp.full_like(x[0], 100.0)
+    cid = jnp.zeros_like(x[0])
+    for k in (-1.0, 0.0, 1.0):
+        for j in (-1.0, 0.0, 1.0):
+            for i in (-1.0, 0.0, 1.0):
+                h0, h1, h2 = p0 + i, p1 + j, p2 + k
+                tx = jnp.floor(h0 + 3.0 * h2).astype(jnp.int32) & 255
+                ty = jnp.floor(h1 + 1.0 * h2).astype(jnp.int32) & 255
+                r0 = i - f0 + _lut_texel(ty, tx, 0)
+                r1 = j - f1c + _lut_texel(ty, tx, 1)
+                r2 = k - f2c + _lut_texel(ty, tx, 2)
+                d = r0 * r0 + r1 * r1 + r2 * r2
+                new_id = jnp.abs(h0 + h1 * 57.0 + h2 * 113.0)
+                closer = d < F1
+                F2 = jnp.where(closer, F1, jnp.where(d < F2, d, F2))
+                cid = jnp.where(closer, new_id, cid)
+                F1 = jnp.where(closer, d, F1)
+    return jnp.sqrt(F1), jnp.sqrt(F2), cid
+
+
+def _gradient_hash_k(p):
+    """iq's sin gradient hash (ops/noise._gradient_hash)."""
+    d0 = p[0] * 127.1 + p[1] * 311.7 + p[2] * 74.7
+    d1 = p[0] * 269.5 + p[1] * 183.3 + p[2] * 246.1
+    d2 = p[0] * 113.5 + p[1] * 271.9 + p[2] * 124.6
+    s0 = jnp.sin(d0) * 43758.5453
+    s1 = jnp.sin(d1) * 43758.5453
+    s2 = jnp.sin(d2) * 43758.5453
+    return (-1.0 + 2.0 * (s0 - jnp.floor(s0)),
+            -1.0 + 2.0 * (s1 - jnp.floor(s1)),
+            -1.0 + 2.0 * (s2 - jnp.floor(s2)))
+
+
+def _gradient_noise_k(p):
+    """ops/noise.gradient_noise (raytracer.glsl:371-385)."""
+    i = (jnp.floor(p[0]), jnp.floor(p[1]), jnp.floor(p[2]))
+    f = (p[0] - i[0], p[1] - i[1], p[2] - i[2])
+    u = tuple(t * t * (3.0 - 2.0 * t) for t in f)
+
+    def g(ox, oy, oz):
+        gh = _gradient_hash_k((i[0] + ox, i[1] + oy, i[2] + oz))
+        return (gh[0] * (f[0] - ox) + gh[1] * (f[1] - oy)
+                + gh[2] * (f[2] - oz))
+
+    lerp = lambda a, b, t: a + (b - a) * t
+    return lerp(
+        lerp(lerp(g(0.0, 0.0, 0.0), g(1.0, 0.0, 0.0), u[0]),
+             lerp(g(0.0, 1.0, 0.0), g(1.0, 1.0, 0.0), u[0]), u[1]),
+        lerp(lerp(g(0.0, 0.0, 1.0), g(1.0, 0.0, 1.0), u[0]),
+             lerp(g(0.0, 1.0, 1.0), g(1.0, 1.0, 1.0), u[0]), u[1]),
+        u[2])
 
 
 # ----------------------------------------------------------------------
@@ -233,6 +361,27 @@ _SDF_SHAPES_OK = frozenset(
     int(s) for s in SdfShape if s != SdfShape.SNOWBALL)
 
 
+def _textures_supported(scene) -> bool:
+    """Kernel texture coverage: procedural types evaluate in-kernel via
+    the hash-recomputed LUT; image textures and UV-textured *spheres*
+    (spherical UV needs asin/atan2) route to the XLA path."""
+    if not scene.tex_types_used:
+        return True
+    tts = scene.tex_types_static
+    opts = scene.opts_static
+    if len(tts) != len(scene.mesh_types_static) or len(opts) != len(tts):
+        return False  # scene built without static texture structure
+    for i, tt in enumerate(tts):
+        if tt == int(TexType.NONE) or not (opts[i][0] or opts[i][1]):
+            continue  # never blended — dead texture slot
+        if tt not in _TEX_KERNEL_OK:
+            return False
+        if (tt in _TEX_UV_TYPES
+                and scene.mesh_types_static[i] == int(MeshType.SPHERE)):
+            return False
+    return True
+
+
 def _geometry_supported(scene) -> bool:
     """Scene-side support: primitive set, SDF shapes, light slots."""
     na = scene.num_analytic
@@ -249,7 +398,7 @@ def _geometry_supported(scene) -> bool:
                    and scene.mesh_types_static[li] == int(MeshType.SPHERE)
                    and scene.mat_types_static[li] == int(MatType.LIGHT))
         for li in scene.lights_static)
-    return bool(not scene.tex_types_used and analytic_ok and sdf_ok
+    return bool(_textures_supported(scene) and analytic_ok and sdf_ok
                 and lights_ok)
 
 
@@ -290,7 +439,10 @@ def supports_shape(height: int, width: int) -> bool:
 (_C_PX, _C_PY, _C_PZ, _C_J0, _C_J1, _C_J2, _C_J3,
  _C_CR, _C_CG, _C_CB, _C_ER, _C_EG, _C_EB, _C_NT) = range(14)
 _C_AUX = 14  # 12 aux floats (triangle/quad vertices) follow
-_NCOLS = 26
+_C_TP = 26   # 4 texture params (tex_params)
+_C_CM = 30   # 3 color-mask floats (tex_cmask)
+_C_EM = 33   # 3 emission-mask floats (tex_emask)
+_NCOLS = 36
 
 
 # ----------------------------------------------------------------------
@@ -539,7 +691,8 @@ def _geometry(meta, cfg: RenderConfig, sv):
     Shared by the trace kernels and the standalone ray-cast kernel."""
     import types
 
-    mesh_types, mat_types, lights, sdf_shapes, n_analytic = meta
+    (mesh_types, mat_types, lights, sdf_shapes, n_analytic,
+     tex_types, opts_ce) = meta
     n_mesh = len(mesh_types)
     n_sdf = len(sdf_shapes)
     eps = cfg.epsilon
@@ -732,7 +885,8 @@ def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d,
     (acc, gbuf).  The host-side reservoir pipeline (ops/restir.py) then
     shades those vertices — the reference engages ReSTIR from brdf on
     exactly those bounces (raytracer.glsl:1899-1946)."""
-    mesh_types, mat_types, lights, sdf_shapes, n_analytic = meta
+    (mesh_types, mat_types, lights, sdf_shapes, n_analytic,
+     tex_types, opts_ce) = meta
     n_mesh = len(mesh_types)
     n_sdf = len(sdf_shapes)
     eps = cfg.epsilon
@@ -953,10 +1107,91 @@ def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d,
                 gz = gz + kz * tap
             n = _where3(is_sdf, _normalize((gx, gy, gz)), n)
 
-        c = (jnp.maximum(w_c[0], 0.001), jnp.maximum(w_c[1], 0.001),
-             jnp.maximum(w_c[2], 0.001))
-        e = (jnp.maximum(w_e[0], 0.001), jnp.maximum(w_e[1], 0.001),
-             jnp.maximum(w_e[2], 0.001))
+        # ---- textured color / emission (integrator.py:190-205,
+        # raytracer.glsl:2071-2077): per-present-type evaluation under
+        # static lane masks, then mix on the raw colors before the clamp ----
+        tex_rows = [i for i in range(n_mesh)
+                    if len(tex_types) == n_mesh
+                    and tex_types[i] != int(TexType.NONE)
+                    and (opts_ce[i][0] or opts_ce[i][1])]
+        if tex_rows:
+            tp_cols = [jnp.zeros_like(tmin)] * 10
+            for i in tex_rows:
+                mi = idx == i
+                for ci in range(10):
+                    tp_cols[ci] = jnp.where(mi, sv[i][_C_TP + ci],
+                                            tp_cols[ci])
+            tp = tp_cols[0:4]
+            cm = tp_cols[4:7]
+            em = tp_cols[7:10]
+
+            present = sorted({tex_types[i] for i in tex_rows})
+            if any(t in _TEX_UV_TYPES for t in present):
+                # dominant-normal-axis planar UV (intersect.parse_hit;
+                # spheres with UV textures are gated off this path)
+                na0, na1, na2 = jnp.abs(n[0]), jnp.abs(n[1]), jnp.abs(n[2])
+                x_dom = (na0 > na1) & (na0 > na2)
+                y_dom = (na1 > na0) & (na1 > na2)
+                uv_u = jnp.where(x_dom, -hit_pos[2], hit_pos[0])
+                uv_v = jnp.where(x_dom, -hit_pos[1],
+                                 jnp.where(y_dom, hit_pos[2], -hit_pos[1]))
+            scaled = (tp[0] * hit_pos[0], tp[1] * hit_pos[1],
+                      tp[2] * hit_pos[2])
+
+            texel = (zeros, zeros, zeros, zeros)
+
+            def put(ttype, tex4):
+                m = lane_mask(idx, lambda i: i in tex_rows
+                              and tex_types[i] == ttype)
+                return tuple(jnp.where(m, tv, old)
+                             for tv, old in zip(tex4, texel))
+
+            for t in present:
+                if t == int(TexType.CHECK):
+                    s = jnp.floor(tp[0] * uv_u) + jnp.floor(tp[1] * uv_v)
+                    nmod = jnp.maximum(tp[2], 1e-6)
+                    val = s - nmod * jnp.floor(s / nmod)
+                    texel = put(t, (val, val, val, val))
+                elif t == int(TexType.RIPPLE):
+                    du = uv_u - tp[0]
+                    dv = uv_v - tp[1]
+                    dist = jnp.sqrt(du * du + dv * dv)
+                    s = jnp.ceil(dist * tp[2])
+                    nmod = jnp.maximum(tp[3], 1e-6)
+                    val = s - nmod * jnp.floor(s / nmod)
+                    texel = put(t, (val, val, val, val))
+                elif t == int(TexType.VORONOI):
+                    s1, s2, cid = _voronoi_k(scaled)
+                    texel = put(t, (s1, s2, cid, zeros))
+                elif t == int(TexType.GRADIENT_NOISE):
+                    f = _gradient_noise_k(scaled)
+                    tt_ = jnp.clip((f + 0.7) / 1.4, 0.0, 1.0)
+                    val = tt_ * tt_ * (3.0 - 2.0 * tt_)
+                    texel = put(t, (val, val, val, val))
+                elif t == int(TexType.VALUE_NOISE):
+                    val = _value_noise_k(scaled)
+                    texel = put(t, (val, val, val, val))
+                elif t == int(TexType.METAL):
+                    val = _metal_fbm_k(scaled)
+                    texel = put(t, (val, val, val, val))
+
+            gate_c = lane_mask(idx, lambda i: i in tex_rows
+                               and opts_ce[i][0])
+            gate_e = lane_mask(idx, lambda i: i in tex_rows
+                               and opts_ce[i][1])
+            bc = jnp.where(gate_c, texel[3], 0.0)
+            be = jnp.where(gate_e, texel[3], 0.0)
+            c = tuple(jnp.maximum(
+                w_c[k] + (texel[k] * cm[k] - w_c[k]) * bc, 0.001)
+                for k in range(3))
+            e = tuple(jnp.maximum(
+                w_e[k] + (texel[k] * em[k] - w_e[k]) * be, 0.001)
+                for k in range(3))
+        else:
+            c = (jnp.maximum(w_c[0], 0.001), jnp.maximum(w_c[1], 0.001),
+                 jnp.maximum(w_c[2], 0.001))
+            e = (jnp.maximum(w_e[0], 0.001), jnp.maximum(w_e[1], 0.001),
+                 jnp.maximum(w_e[2], 0.001))
 
         inside = -jnp.sign(_dot(d, n))
         inside = jnp.where(inside == 0.0, 1.0, inside)
@@ -1178,6 +1413,9 @@ def _scene_table(scene):
         scene.emission,                 # 10:13
         scene.ior[:, None],             # 13
         scene.aux,                      # 14:26
+        scene.tex_params,               # 26:30
+        scene.tex_cmask,                # 30:33
+        scene.tex_emask,                # 33:36
     ], axis=1)
 
 
@@ -1192,7 +1430,7 @@ def _forward(scene, cfg: RenderConfig, ro, rd, pix, pass_idx, sample_idx):
     assert w % BLOCK_COLS == 0, f"width {w} not divisible by {BLOCK_COLS}"
     meta = (scene.mesh_types_static, scene.mat_types_static,
             scene.lights_static, scene.sdf_shapes_static,
-            scene.num_analytic)
+            scene.num_analytic, scene.tex_types_static, scene.opts_static)
 
     ft = _scene_table(scene)
     pp = jnp.asarray([[pass_idx, sample_idx]], jnp.int32).reshape(1, 2)
@@ -1274,7 +1512,7 @@ def _backward(scene, cfg: RenderConfig, ro, rd, pix, pass_idx, sample_idx, ct):
     h, w = pix.shape
     meta = (scene.mesh_types_static, scene.mat_types_static,
             scene.lights_static, scene.sdf_shapes_static,
-            scene.num_analytic)
+            scene.num_analytic, scene.tex_types_static, scene.opts_static)
     n_mesh = len(meta[0])
 
     ft = _scene_table(scene)
@@ -1415,7 +1653,7 @@ def trace_forward_gbuffer(scene, cfg: RenderConfig, ro, rd, pix,
     slots = min(cfg.max_diff_bounces, cfg.max_bounces)
     meta = (scene.mesh_types_static, scene.mat_types_static,
             scene.lights_static, scene.sdf_shapes_static,
-            scene.num_analytic)
+            scene.num_analytic, scene.tex_types_static, scene.opts_static)
     ft = _scene_table(scene)
     pp = jnp.asarray([[pass_idx, sample_idx]], jnp.int32).reshape(1, 2)
 
@@ -1486,7 +1724,7 @@ def cast_rays(scene, cfg: RenderConfig, ro, rd):
     assert supports_shape(h, w), (h, w)
     meta = (scene.mesh_types_static, scene.mat_types_static,
             scene.lights_static, scene.sdf_shapes_static,
-            scene.num_analytic)
+            scene.num_analytic, scene.tex_types_static, scene.opts_static)
     ft = _scene_table(scene)
     grid = (h // BLOCK_ROWS, w // BLOCK_COLS)
     row_spec = _row_spec()

@@ -163,3 +163,116 @@ def test_backward_spectral_volumetrics_interpret():
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(b).max(), 1e-6)
         assert np.abs(a - b).max() / scale < 1e-3
+
+
+def _textured_scene():
+    """All kernel-supported procedural texture types on one scene:
+    CHECK (plane), METAL fBm (box, emission/glossiness texture),
+    VORONOI (box), VALUE_NOISE (plane), RIPPLE (plane)."""
+    from raytracer0_tpu.models.camera import Camera
+    from raytracer0_tpu.models.materials import (Material, MatType,
+                                                 MeshType, Texture, TexType)
+    from raytracer0_tpu.models.scene import SceneBuilder
+    from raytracer0_tpu.models.presets import OFFLINE_CONFIG
+
+    vor = Material(c=(0.4, 0.4, 0.4), t=MatType.DIFF,
+                   tex=Texture(params=(2.0, 2.0, 2.0, 0.0),
+                               t=TexType.VORONOI),
+                   opts=(True, False, False, False))
+    vn = Material(c=(0.2, 0.5, 0.3), t=MatType.DIFF,
+                  tex=Texture(params=(16.0, 16.0, 16.0, 0.0),
+                              t=TexType.VALUE_NOISE),
+                  opts=(True, False, False, False))
+    rip = Material(c=(0.6, 0.6, 0.1), t=MatType.DIFF,
+                   tex=Texture(params=(0.0, 0.0, 8.0, 2.0),
+                               t=TexType.RIPPLE),
+                   opts=(True, False, False, False))
+    b = SceneBuilder()
+    b.add("MAT_CHECK_WHITE", MeshType.PLANE, (0.0, 1.0, 0.0), (2.0,))
+    b.add("MAT_METAL", MeshType.BOX, (0.6, -1.4, -0.5), (1.2,))
+    b.add(vor, MeshType.BOX, (-1.2, -1.4, 0.2), (1.0,))
+    b.add("MAT_WHITE", MeshType.PLANE, (0.0, 0.0, 1.0), (2.0,))
+    b.add(vn, MeshType.PLANE, (1.0, 0.0, 0.0), (2.0,))
+    b.add(rip, MeshType.PLANE, (-1.0, 0.0, 0.0), (2.0,))
+    b.add("MAT_LIGHT_4", MeshType.SPHERE, (0.0, 1.5, 0.0), (0.4,))
+    scene = b.build()
+    cam = Camera.make(origin=(0.0, 0.0, 1.9), lookat=(0.0, -0.4, -1.0),
+                      fov=60.0)
+    cfg = OFFLINE_CONFIG.replace(max_bounces=3, use_procedural_sky=True)
+    return scene, cam, cfg
+
+
+def test_textured_supported_gates():
+    """Procedural textures reach the kernel; image textures and
+    UV-textured spheres stay on the XLA path (no Mosaic gather/asin)."""
+    from raytracer0_tpu.models.camera import Camera
+    from raytracer0_tpu.models.materials import MeshType
+    from raytracer0_tpu.models.scene import SceneBuilder
+    from raytracer0_tpu.models.presets import cornell_box
+
+    scene, _, cfg = _textured_scene()
+    assert megakernel.supported(scene, cfg)
+    s2, _, c2 = cornell_box()       # IMAGE1-textured sphere light
+    assert not megakernel.supported(s2, c2)
+    # UV-textured SPHERE needs spherical UV (asin/atan2) -> XLA path
+    b = SceneBuilder()
+    b.add("MAT_CHECK_WHITE", MeshType.SPHERE, (0.0, 0.0, 0.0), (1.0,))
+    b.add("MAT_LIGHT_4", MeshType.SPHERE, (0.0, 1.5, 0.0), (0.4,))
+    assert not megakernel.supported(b.build(), cfg)
+
+
+def test_textured_matches_integrator_interpret():
+    """In-kernel procedural textures (LUT recomputed via the counter
+    hash) are exact vs the XLA path's gathered-LUT evaluation.
+    GRADIENT_NOISE is deliberately absent: iq's sin hash amplifies 1-ULP
+    reassociation differences by 43758x, so it can only agree
+    statistically (its own test below)."""
+    scene, cam, cfg = _textured_scene()
+    H, W = 16, 128
+    pix = rng.pixel_ids(H, W)
+    ro, rd = generate_rays(cam, H, W, 0)
+    ref = np.asarray(integrator.trace(scene, cfg, ro, rd, pix, 0, 0))
+    os.environ["RT0_PALLAS_INTERPRET"] = "1"
+    try:
+        out = np.asarray(megakernel.trace_forward(scene, cfg, ro, rd,
+                                                  pix, 0, 0))
+    finally:
+        del os.environ["RT0_PALLAS_INTERPRET"]
+    err = np.abs(out - ref)
+    assert err.max() < 1e-4, err.max()
+    assert (err.max(-1) < 1e-5).mean() > 0.999
+
+
+def test_gradient_noise_statistical_interpret():
+    """GRADIENT_NOISE surfaces: hash fragility means per-pixel values
+    may differ, but the noise statistics (mean/std over the surface)
+    must agree closely."""
+    from raytracer0_tpu.models.camera import Camera
+    from raytracer0_tpu.models.materials import (Material, MatType,
+                                                 MeshType, Texture, TexType)
+    from raytracer0_tpu.models.scene import SceneBuilder
+    from raytracer0_tpu.models.presets import OFFLINE_CONFIG
+
+    gn = Material(c=(0.5, 0.3, 0.2), t=MatType.DIFF,
+                  tex=Texture(params=(3.0, 3.0, 3.0, 0.0),
+                              t=TexType.GRADIENT_NOISE),
+                  opts=(True, False, False, False))
+    b = SceneBuilder()
+    b.add(gn, MeshType.PLANE, (0.0, 1.0, 0.0), (2.0,))
+    b.add("MAT_LIGHT_4", MeshType.SPHERE, (0.0, 1.5, 0.0), (0.4,))
+    scene = b.build()
+    cam = Camera.make(origin=(0.0, 0.5, 1.9), lookat=(0.0, -0.5, -1.0),
+                      fov=60.0)
+    cfg = OFFLINE_CONFIG.replace(max_bounces=2, use_procedural_sky=True)
+    H, W = 16, 128
+    pix = rng.pixel_ids(H, W)
+    ro, rd = generate_rays(cam, H, W, 0)
+    ref = np.asarray(integrator.trace(scene, cfg, ro, rd, pix, 0, 0))
+    os.environ["RT0_PALLAS_INTERPRET"] = "1"
+    try:
+        out = np.asarray(megakernel.trace_forward(scene, cfg, ro, rd,
+                                                  pix, 0, 0))
+    finally:
+        del os.environ["RT0_PALLAS_INTERPRET"]
+    assert abs(out.mean() - ref.mean()) < 0.02 * max(ref.mean(), 1e-3)
+    assert abs(out.std() - ref.std()) < 0.05 * max(ref.std(), 1e-3)

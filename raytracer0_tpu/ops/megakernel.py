@@ -356,9 +356,7 @@ def _power_heuristic(f, g):
                      jnp.maximum(denom, 1e-12), 0.0)
 
 
-# SNOWBALL needs the value-noise LUT (a texture gather) — XLA path only.
-_SDF_SHAPES_OK = frozenset(
-    int(s) for s in SdfShape if s != SdfShape.SNOWBALL)
+_SDF_SHAPES_OK = frozenset(int(s) for s in SdfShape)
 
 
 def _textures_supported(scene) -> bool:
@@ -678,6 +676,11 @@ def _sdf_distance(shape, p, pos, jk, ax=None):
         return _tsd_sea_box(q, (j0, j1, j2), j3)
     if shape == int(SdfShape.SIGGRAPH):
         return _tsd_siggraph(q)
+    if shape == int(SdfShape.SNOWBALL):
+        # ops/sdf.snowball — its value-noise LUT fetch is the hash
+        # recompute (_value_noise_k), same as the texture system
+        return _tsd_sphere(q, j0) - 0.04 * _value_noise_k(
+            (q[0] * 8.0, q[1] * 8.0, q[2] * 8.0))
     raise ValueError(f"megakernel: unsupported SDF shape {shape}")
 
 

@@ -276,3 +276,38 @@ def test_gradient_noise_statistical_interpret():
         del os.environ["RT0_PALLAS_INTERPRET"]
     assert abs(out.mean() - ref.mean()) < 0.02 * max(ref.mean(), 1e-3)
     assert abs(out.std() - ref.std()) < 0.05 * max(ref.std(), 1e-3)
+
+
+def test_snowball_matches_integrator_interpret():
+    """SNOWBALL's value-noise displacement is recomputed in-kernel from
+    the counter hash (bitwise-equal to the LUT, see test_rng) — the only
+    divergence left is silhouette-edge hit/miss flips from the marchers'
+    different stopping structure (fori vs early-exit while)."""
+    from raytracer0_tpu.models.camera import Camera
+    from raytracer0_tpu.models.materials import MeshType, SdfShape
+    from raytracer0_tpu.models.scene import SceneBuilder
+    from raytracer0_tpu.models.presets import OFFLINE_CONFIG
+
+    b = SceneBuilder()
+    b.add("MAT_WHITE", MeshType.PLANE, (0.0, 1.0, 0.0), (2.0,))
+    b.add("MAT_WHITE", MeshType.SDF, (0.0, -0.5, 0.0), (0.6,),
+          sdf_shape=SdfShape.SNOWBALL)
+    b.add("MAT_LIGHT_4", MeshType.SPHERE, (0.0, 1.5, 0.0), (0.4,))
+    scene = b.build()
+    cfg = OFFLINE_CONFIG.replace(max_bounces=2, use_procedural_sky=True)
+    assert megakernel.supported(scene, cfg)
+    cam = Camera.make(origin=(0.0, 0.0, 2.2), lookat=(0.0, -0.4, -1.0),
+                      fov=60.0)
+    H, W = 16, 128
+    pix = rng.pixel_ids(H, W)
+    ro, rd = generate_rays(cam, H, W, 0)
+    ref = np.asarray(integrator.trace(scene, cfg, ro, rd, pix, 0, 0))
+    os.environ["RT0_PALLAS_INTERPRET"] = "1"
+    try:
+        out = np.asarray(megakernel.trace_forward(scene, cfg, ro, rd,
+                                                  pix, 0, 0))
+    finally:
+        del os.environ["RT0_PALLAS_INTERPRET"]
+    err = np.abs(out - ref)
+    assert (err.max(-1) < 1e-4).mean() > 0.90
+    assert abs(out.mean() - ref.mean()) < 0.05 * ref.mean()

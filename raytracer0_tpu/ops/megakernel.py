@@ -1602,6 +1602,9 @@ def _bwd(cfg, res, ct):
         emission=dft[:, _C_ER:_C_EB + 1],
         ior=dft[:, _C_NT],
         aux=dft[:, _C_AUX:_C_AUX + 12],
+        tex_params=dft[:, _C_TP:_C_TP + 4],
+        tex_cmask=dft[:, _C_CM:_C_CM + 3],
+        tex_emask=dft[:, _C_EM:_C_EM + 3],
     )
     return d_scene, d_ro, d_rd, None, None, None
 

@@ -59,7 +59,8 @@ def _build(args):
     if getattr(args, "cubemap", None):
         from raytracer0_tpu.utils.image import load_cubemap_dir
         import jax.numpy as jnp
-        scene = scene.replace(cubemap=jnp.asarray(load_cubemap_dir(args.cubemap)))
+        scene = scene.replace(cubemap=jnp.asarray(load_cubemap_dir(args.cubemap)),
+                              cubemap_is_procedural=False)
     return scene, camera, cfg
 
 

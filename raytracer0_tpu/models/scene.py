@@ -88,6 +88,12 @@ class Scene:
     # GLSL constants); lets ops.megakernel specialize texture evaluation.
     tex_types_static: tuple = struct.field(pytree_node=False, default=())
     opts_static: tuple = struct.field(pytree_node=False, default=())
+    # True when `cubemap` is the procedural fallback (sky.default_cubemap):
+    # its texels are formula data, so ops.megakernel can recompute them
+    # in-kernel instead of gathering.  Loading a real cubemap (CLI
+    # --cubemap, SceneBuilder.cubemap) leaves/sets this False.
+    cubemap_is_procedural: bool = struct.field(pytree_node=False,
+                                               default=False)
 
     @property
     def num_meshes(self) -> int:
@@ -209,12 +215,14 @@ class SceneBuilder:
         images = self._images if self._images is not None else np.ones((4, 1, 1, 4), np.float32)
         if self._cubemap is not None:
             cubemap = self._cubemap
+            cubemap_procedural = False
         else:
             # procedural fallback so use_cubemap scenes never see black
             # (the reference always ships a photographic cubemap,
             # index.html:267-270; VERDICT r1 missing #2)
             from raytracer0_tpu.ops.sky import default_cubemap
             cubemap = default_cubemap(64)
+            cubemap_procedural = True
 
         return Scene(
             pos=jnp.asarray(pos), joker=jnp.asarray(joker),
@@ -247,6 +255,7 @@ class SceneBuilder:
             lights_static=tuple(int(i) for i in lights),
             tex_types_static=tuple(int(t) for t in tex_type),
             opts_static=tuple((bool(o[0]), bool(o[1])) for o in opts),
+            cubemap_is_procedural=cubemap_procedural,
         )
 
 

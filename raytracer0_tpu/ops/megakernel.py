@@ -199,6 +199,75 @@ def _voronoi_k(x):
     return jnp.sqrt(F1), jnp.sqrt(F2), cid
 
 
+def _sky_palette_k(h):
+    """Cosine-palette sky from elevation factor h (raytracer.glsl:2062)."""
+    return (0.5 + 0.5 * jnp.cos(TWO_PI * (0.525 + 0.9 * h)),
+            0.5 + 0.5 * jnp.cos(TWO_PI * (0.408 + 0.97 * h)),
+            0.5 + 0.5 * jnp.cos(TWO_PI * (0.409 + 0.8 * h)))
+
+
+def _proc_cubemap_sample(d, size):
+    """Bilinear sample of the *procedural* default cubemap
+    (sky.default_cubemap): baked texels are formula data — the palette at
+    the texel-center direction — so the kernel recomputes the 4 bilinear
+    taps instead of gathering (same trick as the noise LUT).  Matches
+    sky.sample_cubemap on the baked faces to f32 cos/rsqrt ULPs."""
+    x, y, z = d
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+    x_major = (ax >= ay) & (ax >= az)
+    y_major = (ay > ax) & (ay >= az)
+    face = jnp.where(
+        x_major, jnp.where(x > 0, 0, 1),
+        jnp.where(y_major, jnp.where(y > 0, 2, 3),
+                  jnp.where(z > 0, 4, 5))).astype(jnp.int32)
+    ma = jnp.maximum(jnp.where(x_major, ax, jnp.where(y_major, ay, az)),
+                     1e-9)
+    sc = jnp.where(x_major, jnp.where(x > 0, -z, z),
+                   jnp.where(y_major, x, jnp.where(z > 0, x, -x)))
+    tc = jnp.where(x_major, -y,
+                   jnp.where(y_major, jnp.where(y > 0, z, -z), -y))
+    u = 0.5 * (sc / ma + 1.0)
+    v = 0.5 * (tc / ma + 1.0)
+
+    w = jnp.float32(size)
+    xpix = jnp.clip(u * w - 0.5, 0.0, w - 1.0)
+    ypix = jnp.clip(v * w - 0.5, 0.0, w - 1.0)
+    x0 = jnp.floor(xpix)
+    y0 = jnp.floor(ypix)
+    fx = xpix - x0
+    fy = ypix - y0
+    x1 = jnp.minimum(x0 + 1.0, w - 1.0)
+    y1 = jnp.minimum(y0 + 1.0, w - 1.0)
+
+    def texel(xi, yi):
+        # texel-center direction per face (sky.default_cubemap:34-45)
+        s = (xi + 0.5) / w * 2.0 - 1.0
+        t = (yi + 0.5) / w * 2.0 - 1.0
+        is0 = face == 0
+        is1 = face == 1
+        is2 = face == 2
+        is3 = face == 3
+        is4 = face == 4
+        dx = jnp.where(is0, 1.0, jnp.where(is1, -1.0,
+             jnp.where(is2 | is3 | is4, s, -s)))
+        dy = jnp.where(is2, 1.0, jnp.where(is3, -1.0, -t))
+        dz = jnp.where(is0, -s, jnp.where(is1, s,
+             jnp.where(is2, t, jnp.where(is3, -t,
+             jnp.where(is4, 1.0, -1.0)))))
+        inv = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        h = jnp.clip(dy * inv * 0.6 + 0.5, 0.3, 1.0)
+        return _sky_palette_k(h)
+
+    c00 = texel(x0, y0)
+    c01 = texel(x1, y0)
+    c10 = texel(x0, y1)
+    c11 = texel(x1, y1)
+    return tuple(
+        (c00[k] * (1 - fx) + c01[k] * fx) * (1 - fy)
+        + (c10[k] * (1 - fx) + c11[k] * fx) * fy
+        for k in range(3))
+
+
 def _gradient_hash_k(p):
     """iq's sin gradient hash (ops/noise._gradient_hash)."""
     d0 = p[0] * 127.1 + p[1] * 311.7 + p[2] * 74.7
@@ -405,7 +474,7 @@ def supported(scene, cfg: RenderConfig) -> bool:
     return (
         _geometry_supported(scene)
         and not cfg.use_restir
-        and not cfg.use_cubemap
+        and (not cfg.use_cubemap or scene.cubemap_is_procedural)
         and cfg.use_biased_sampling
         and int(cfg.render_mode) == int(RenderMode.STATIC)
     )
@@ -424,7 +493,7 @@ def supported_restir(scene, cfg: RenderConfig) -> bool:
     return (
         _geometry_supported(scene)
         and engaged
-        and not cfg.use_cubemap
+        and (not cfg.use_cubemap or scene.cubemap_is_procedural)
         and cfg.use_biased_sampling
     )
 
@@ -695,7 +764,7 @@ def _geometry(meta, cfg: RenderConfig, sv):
     import types
 
     (mesh_types, mat_types, lights, sdf_shapes, n_analytic,
-     tex_types, opts_ce) = meta
+     tex_types, opts_ce, pc_size) = meta
     n_mesh = len(mesh_types)
     n_sdf = len(sdf_shapes)
     eps = cfg.epsilon
@@ -889,7 +958,7 @@ def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d,
     shades those vertices — the reference engages ReSTIR from brdf on
     exactly those bounces (raytracer.glsl:1899-1946)."""
     (mesh_types, mat_types, lights, sdf_shapes, n_analytic,
-     tex_types, opts_ce) = meta
+     tex_types, opts_ce, pc_size) = meta
     n_mesh = len(mesh_types)
     n_sdf = len(sdf_shapes)
     eps = cfg.epsilon
@@ -1063,9 +1132,12 @@ def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d,
             env_allowed = jnp.ones_like(specular)
         if cfg.use_procedural_sky:
             hsky = jnp.clip(d[1] * 0.6 + 0.5, 0.3, 1.0)
-            sky = (0.5 + 0.5 * jnp.cos(TWO_PI * (0.525 + 0.9 * hsky)),
-                   0.5 + 0.5 * jnp.cos(TWO_PI * (0.408 + 0.97 * hsky)),
-                   0.5 + 0.5 * jnp.cos(TWO_PI * (0.409 + 0.8 * hsky)))
+            sky = _sky_palette_k(hsky)
+        elif cfg.use_cubemap and pc_size:
+            sky = _proc_cubemap_sample(d, pc_size)
+        else:
+            sky = None
+        if sky is not None:
             env_gate = missed & env_allowed
             acc = (acc[0] + jnp.where(env_gate, mask[0] * sky[0], 0.0),
                    acc[1] + jnp.where(env_gate, mask[1] * sky[1], 0.0),
@@ -1302,6 +1374,22 @@ def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d,
 
         diffuse_lane = surface & ~bs_specular
 
+        if cfg.use_cubemap and pc_size:
+            # ---- cubemap gather ray on diffuse bounces (integrator.py:
+            # 239-250, raytracer.glsl:1888-1897): one biased-hemisphere
+            # ray; env added where it escapes ----
+            eu1, eu2 = _uniform2(pix, pass_u, samp_u, depth_u,
+                                 np.uint32(rng_mod.Stream.ENV_DIR))
+            env_dir = _sample_biased(nl, eu1, eu2)
+            env_o = _add(hit_pos, _scale(nl, eps))
+            env_t, _env_i = intersect(env_o, env_dir)
+            env_missed = env_t > 1e30
+            env_rad = _proc_cubemap_sample(env_dir, pc_size)
+            env_g = diffuse_lane & env_missed
+            acc = (acc[0] + jnp.where(env_g, mask_after[0] * env_rad[0], 0.0),
+                   acc[1] + jnp.where(env_g, mask_after[1] * env_rad[1], 0.0),
+                   acc[2] + jnp.where(env_g, mask_after[2] * env_rad[2], 0.0))
+
         if restir_slots:
             # ---- G-buffer export instead of in-kernel NEE: the k-th
             # diffuse vertex of each lane records its shading inputs for
@@ -1433,7 +1521,9 @@ def _forward(scene, cfg: RenderConfig, ro, rd, pix, pass_idx, sample_idx):
     assert w % BLOCK_COLS == 0, f"width {w} not divisible by {BLOCK_COLS}"
     meta = (scene.mesh_types_static, scene.mat_types_static,
             scene.lights_static, scene.sdf_shapes_static,
-            scene.num_analytic, scene.tex_types_static, scene.opts_static)
+            scene.num_analytic, scene.tex_types_static, scene.opts_static,
+            int(scene.cubemap.shape[1])
+            if scene.cubemap_is_procedural else 0)
 
     ft = _scene_table(scene)
     pp = jnp.asarray([[pass_idx, sample_idx]], jnp.int32).reshape(1, 2)
@@ -1515,7 +1605,9 @@ def _backward(scene, cfg: RenderConfig, ro, rd, pix, pass_idx, sample_idx, ct):
     h, w = pix.shape
     meta = (scene.mesh_types_static, scene.mat_types_static,
             scene.lights_static, scene.sdf_shapes_static,
-            scene.num_analytic, scene.tex_types_static, scene.opts_static)
+            scene.num_analytic, scene.tex_types_static, scene.opts_static,
+            int(scene.cubemap.shape[1])
+            if scene.cubemap_is_procedural else 0)
     n_mesh = len(meta[0])
 
     ft = _scene_table(scene)
@@ -1659,7 +1751,9 @@ def trace_forward_gbuffer(scene, cfg: RenderConfig, ro, rd, pix,
     slots = min(cfg.max_diff_bounces, cfg.max_bounces)
     meta = (scene.mesh_types_static, scene.mat_types_static,
             scene.lights_static, scene.sdf_shapes_static,
-            scene.num_analytic, scene.tex_types_static, scene.opts_static)
+            scene.num_analytic, scene.tex_types_static, scene.opts_static,
+            int(scene.cubemap.shape[1])
+            if scene.cubemap_is_procedural else 0)
     ft = _scene_table(scene)
     pp = jnp.asarray([[pass_idx, sample_idx]], jnp.int32).reshape(1, 2)
 
@@ -1730,7 +1824,9 @@ def cast_rays(scene, cfg: RenderConfig, ro, rd):
     assert supports_shape(h, w), (h, w)
     meta = (scene.mesh_types_static, scene.mat_types_static,
             scene.lights_static, scene.sdf_shapes_static,
-            scene.num_analytic, scene.tex_types_static, scene.opts_static)
+            scene.num_analytic, scene.tex_types_static, scene.opts_static,
+            int(scene.cubemap.shape[1])
+            if scene.cubemap_is_procedural else 0)
     ft = _scene_table(scene)
     grid = (h // BLOCK_ROWS, w // BLOCK_COLS)
     row_spec = _row_spec()

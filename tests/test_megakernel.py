@@ -301,7 +301,9 @@ def test_snowball_matches_integrator_interpret():
     H, W = 16, 128
     pix = rng.pixel_ids(H, W)
     ro, rd = generate_rays(cam, H, W, 0)
-    ref = np.asarray(integrator.trace(scene, cfg, ro, rd, pix, 0, 0))
+    from raytracer0_tpu.ops import sdf as sdf_ops
+    ref = np.asarray(integrator.trace(scene, cfg, ro, rd, pix, 0, 0,
+                                      sdf_march=sdf_ops.march))
     os.environ["RT0_PALLAS_INTERPRET"] = "1"
     try:
         out = np.asarray(megakernel.trace_forward(scene, cfg, ro, rd,
@@ -309,8 +311,8 @@ def test_snowball_matches_integrator_interpret():
     finally:
         del os.environ["RT0_PALLAS_INTERPRET"]
     err = np.abs(out - ref)
-    assert (err.max(-1) < 1e-4).mean() > 0.90
-    assert abs(out.mean() - ref.mean()) < 0.05 * ref.mean()
+    assert (err.max(-1) < 1e-4).mean() > 0.99
+    assert abs(out.mean() - ref.mean()) < 0.02 * ref.mean()
 
 
 def test_textured_backward_matches_integrator_grad_interpret():
@@ -349,3 +351,48 @@ def test_textured_backward_matches_integrator_grad_interpret():
         assert np.abs(a - b).max() / scale < 1e-3
         any_nonzero |= bool((b != 0).any())
     assert any_nonzero  # the comparison must not be vacuous
+
+
+def test_procedural_cubemap_presets_interpret():
+    """Presets `default` and `menger_sponge` (use_cubemap=True with the
+    procedural fallback cubemap) run on the megakernel: the baked texels
+    are formula data the kernel recomputes, and the per-diffuse-bounce
+    cubemap gather ray (raytracer.glsl:1888-1897) runs in-kernel.
+    `default` is exact; menger's fractal silhouette tolerates edge
+    flips (marcher stopping-structure, see snowball test)."""
+    from raytracer0_tpu.models.presets import default_scene, menger_sponge
+    from raytracer0_tpu.ops import sdf as sdf_ops
+
+    for preset, frac, mean_tol in ((default_scene, 1.0, 0.001),
+                                   (menger_sponge, 0.97, 0.02)):
+        scene, cam, cfg = preset()
+        cfg = cfg.replace(max_bounces=2)
+        assert megakernel.supported(scene, cfg), preset.__name__
+        H, W = 16, 128
+        pix = rng.pixel_ids(H, W)
+        ro, rd = generate_rays(cam, H, W, 0)
+        ref = np.asarray(integrator.trace(scene, cfg, ro, rd, pix, 0, 0,
+                                          sdf_march=sdf_ops.march))
+        os.environ["RT0_PALLAS_INTERPRET"] = "1"
+        try:
+            out = np.asarray(megakernel.trace_forward(scene, cfg, ro, rd,
+                                                      pix, 0, 0))
+        finally:
+            del os.environ["RT0_PALLAS_INTERPRET"]
+        err = np.abs(out - ref)
+        assert (err.max(-1) < 1e-4).mean() >= frac, preset.__name__
+        assert abs(out.mean() - ref.mean()) <= mean_tol * ref.mean(), \
+            preset.__name__
+
+
+def test_user_cubemap_stays_on_xla_path():
+    """A real (loaded) cubemap is image data the kernel cannot gather:
+    the support gate must route it to the XLA path."""
+    import jax.numpy as jnp
+    from raytracer0_tpu.models.presets import default_scene
+
+    scene, _, cfg = default_scene()
+    user = scene.replace(
+        cubemap=jnp.ones((6, 8, 8, 3), jnp.float32),
+        cubemap_is_procedural=False)
+    assert not megakernel.supported(user, cfg)

@@ -1,7 +1,7 @@
 """Benchmark: forward+backward rays/s/chip on the Cornell box at 1 spp.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N, ...}
 
 Metric definition (BASELINE.json: "forward+backward rays/s/chip (Cornell
 1spp)"): one step = render 1 spp at HxW with the offline bounce budget
@@ -11,10 +11,27 @@ every bounce slot for every lane, so this is the number of traced
 segments the chip actually pays for), i.e. H*W*max_bounces per step.
 Shadow rays from NEE are *not* counted (conservative).
 
+Timing sync is a host transfer (`profiling.sync`): `block_until_ready`
+returns before remote execution finishes on this container's tunneled
+TPU platform, which silently inflates naive timings by orders of
+magnitude.
+
 vs_baseline: the reference publishes no numbers (BASELINE.md).  The
-yardstick used here is a fixed documented estimate of the reference's
-real-time throughput on its stated target GPU (RTX 3070 Mobile,
-README.md:3): 600x600 px * 60 fps * 6 bounces ≈ 1.3e8 ray segments/s.
+yardstick is the same fixed documented estimate as round 1 (for
+cross-round comparability): the reference's real-time throughput on its
+stated target GPU (RTX 3070 Mobile, README.md:3): 600x600 px * 60 fps *
+6 bounces ~= 1.3e8 ray segments/s.
+
+Speed-of-light (SURVEY.md §7.1-7): `sol` reports XLA's own flop count
+for the *same math* on the XLA wavefront path (cost_analysis of the
+compiled fwd+bwd step; the Pallas kernel is opaque to cost analysis, so
+the XLA graph of identical semantics is the flop oracle), the achieved
+TFLOP/s, and the fraction of the chip's f32 vector peak.  The path
+tracer is VPU-bound (elementwise math, no matmuls): for TPU v5e
+("TPU v5 lite") the f32 vector peak is 8x128 lanes x 4 ALUs x 0.94 GHz
+~= 3.85 T f32 op/s per chip; MXU peaks (197 TF bf16) don't apply.
+HBM roofline does not bind: the megakernel is block-resident in VMEM
+and touches ~52 B/pixel/pass of HBM, far under 819 GB/s at these times.
 """
 
 import json
@@ -23,36 +40,127 @@ import time
 import jax
 import jax.numpy as jnp
 
-BASELINE_RAYS_PER_S = 1.3e8  # see module docstring
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+BASELINE_RAYS_PER_S = 1.3e8   # see module docstring
+VPU_F32_PEAK = {              # f32 vector op/s per chip, by device_kind
+    "TPU v5 lite": 3.85e12,   # 8*128*4 ALUs * 0.94 GHz
+}
 
 H = W = 512
 WARMUP = 2
-ITERS = 5
+ITERS = 10
 
 
-def main():
+def _timeit(fn, *args_list):
+    """Steady-state seconds/call over ITERS calls (host-transfer sync)."""
+    from raytracer0_tpu.utils.profiling import sync
+
+    t0 = time.perf_counter()
+    sync(fn(*args_list[0]))
+    compile_s = time.perf_counter() - t0
+    for a in args_list[1:WARMUP]:
+        fn(*a)
+    sync(fn(*args_list[WARMUP - 1]))
+    t0 = time.perf_counter()
+    out = None
+    for a in args_list[WARMUP:WARMUP + ITERS]:
+        out = fn(*a)
+    sync(out)
+    return (time.perf_counter() - t0) / ITERS, compile_s
+
+
+def bench_cornell():
+    """Headline: fwd+bwd on the Cornell megakernel path + XLA flop oracle."""
     from raytracer0_tpu.models.presets import cornell_default
     from raytracer0_tpu.render.renderer import sample_radiance
 
     scene, camera, cfg = cornell_default(use_mis=True)
 
-    def loss_fn(color, emission, pos, joker, pass_idx):
+    def loss_fn(color, emission, pos, joker, pass_idx, cfg=cfg):
         s = scene.replace(color=color, emission=emission, pos=pos, joker=joker)
-        img = sample_radiance(s, cfg, camera, H, W, pass_idx)
-        return jnp.sum(img)
+        return jnp.sum(sample_radiance(s, cfg, camera, H, W, pass_idx))
 
     step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3)))
+    a = (scene.color, scene.emission, scene.pos, scene.joker)
+    dt, compile_s = _timeit(step, *[a + (i,) for i in range(WARMUP + ITERS)])
 
-    args = (scene.color, scene.emission, scene.pos, scene.joker)
-    for i in range(WARMUP):
-        g = step(*args, i)
-    jax.block_until_ready(g)
+    fwd = jax.jit(lambda p: sample_radiance(scene, cfg, camera, H, W, p))
+    dt_fwd, _ = _timeit(fwd, *[(i,) for i in range(WARMUP + ITERS)])
 
+    # Flop oracle: the XLA wavefront path computes identical semantics;
+    # its compiled cost analysis counts what the Pallas kernel hides.
+    sol = {}
+    try:
+        cfg_xla = cfg.replace(use_megakernel=False)
+
+        def loss_xla(color, emission, pos, joker, pass_idx):
+            s = scene.replace(color=color, emission=emission,
+                              pos=pos, joker=joker)
+            return jnp.sum(sample_radiance(s, cfg_xla, camera, H, W,
+                                           pass_idx))
+
+        ca = (jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2, 3)))
+              .lower(*a, 0).compile().cost_analysis())
+        flops = float(ca.get("flops", 0.0))
+        kind = jax.devices()[0].device_kind
+        peak = VPU_F32_PEAK.get(kind)
+        sol = {
+            "xla_flops_per_step": flops,
+            "achieved_tflops": round(flops / dt / 1e12, 3),
+            "device_kind": kind,
+            "vpu_f32_peak_tflops": peak and peak / 1e12,
+            "sol_fraction": peak and round(flops / dt / peak, 3),
+        }
+    except Exception as e:  # cost analysis is best-effort observability
+        sol = {"error": f"{type(e).__name__}: {e}"}
+
+    return dt, dt_fwd, compile_s, sol, cfg
+
+
+def bench_restir():
+    """ReSTIR fast path (BASELINE config 4): ms/pass on restir_demo."""
+    from raytracer0_tpu.models.presets import restir_demo
+    from raytracer0_tpu.render.renderer import Renderer
+    from raytracer0_tpu.utils.profiling import sync
+
+    scene, camera, cfg = restir_demo()
+    r = Renderer(scene, camera, cfg, H, W)
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        g = step(*args, WARMUP + i)
-    jax.block_until_ready(g)
-    dt = (time.perf_counter() - t0) / ITERS
+    sync(r.step())
+    compile_s = time.perf_counter() - t0
+    sync(r.step())
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        r.step()
+    sync(r.state)
+    return (time.perf_counter() - t0) / ITERS, compile_s
+
+
+def bench_config5():
+    """Spectral + volumetrics (BASELINE config 5): ms/pass."""
+    from raytracer0_tpu.models.presets import spectral_caustics
+    from raytracer0_tpu.render.renderer import Renderer
+    from raytracer0_tpu.utils.profiling import sync
+
+    scene, camera, cfg = spectral_caustics()
+    r = Renderer(scene, camera, cfg, H, W)
+    t0 = time.perf_counter()
+    sync(r.step())
+    compile_s = time.perf_counter() - t0
+    sync(r.step())
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        r.step()
+    sync(r.state)
+    return (time.perf_counter() - t0) / ITERS, compile_s
+
+
+def main():
+    dt, dt_fwd, compile_s, sol, cfg = bench_cornell()
+    restir_ms, restir_compile = bench_restir()
+    c5_ms, c5_compile = bench_config5()
 
     rays = H * W * cfg.max_bounces  # 1 spp
     value = rays / dt
@@ -61,6 +169,19 @@ def main():
         "value": round(value),
         "unit": "rays/s",
         "vs_baseline": round(value / BASELINE_RAYS_PER_S, 3),
+        "detail": {
+            "size": f"{H}x{W}",
+            "bounces": cfg.max_bounces,
+            "fwd_bwd_ms": round(dt * 1e3, 2),
+            "fwd_ms": round(dt_fwd * 1e3, 2),
+            "fwd_rays_per_s": round(rays / dt_fwd),
+            "compile_s": round(compile_s, 1),
+            "restir_ms_per_pass": round(restir_ms * 1e3, 2),
+            "restir_compile_s": round(restir_compile, 1),
+            "config5_ms_per_pass": round(c5_ms * 1e3, 2),
+            "config5_compile_s": round(c5_compile, 1),
+            "sol": sol,
+        },
     }))
 
 

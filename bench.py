@@ -50,7 +50,11 @@ VPU_F32_PEAK = {              # f32 vector op/s per chip, by device_kind
 
 H = W = 512
 WARMUP = 2
-ITERS = 10
+# Enough queued steps to amortize the tunneled-platform dispatch latency:
+# at ITERS=10 the Cornell fwd+bwd step measured 14.8 ms/step, at ITERS=40
+# the same binary measures ~8 ms/step — short runs time the dispatch
+# pipeline, not the kernel.
+ITERS = 40
 
 
 def _timeit(fn, *args_list):

@@ -943,20 +943,11 @@ def _geometry(meta, cfg: RenderConfig, sv):
         lane_mask=lane_mask, sphere_light_pdf=sphere_light_pdf)
 
 
-def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d,
-                 unroll=True, restir_slots=0):
-    """Radiance of one SoA block.  Pure in (sv, o, d) — `sv` is a tuple of
-    per-mesh 11-scalar tuples (the SMEM table snapshot) so `jax.vjp` of
-    this function gives the exact adjoint w.r.t. scene params and rays.
-
-    With `restir_slots > 0` the kernel runs the ReSTIR split (VERDICT r1
-    next #1): diffuse-bounce NEE is *not* accumulated in-kernel; instead
-    the k-th diffuse vertex per lane (k < restir_slots) exports a
-    G-buffer record (hit pos, oriented normal, post-albedo throughput,
-    winner mesh index, bounce depth, valid flag) and the return value is
-    (acc, gbuf).  The host-side reservoir pipeline (ops/restir.py) then
-    shades those vertices — the reference engages ReSTIR from brdf on
-    exactly those bounces (raytracer.glsl:1899-1946)."""
+def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
+                  restir_slots=0):
+    """Build the one-bounce transition function on the explicit lane-state
+    carry, closed over the scene values `sv` (raytracer.glsl:1986-2105
+    radiance-loop body)."""
     (mesh_types, mat_types, lights, sdf_shapes, n_analytic,
      tex_types, opts_ce, pc_size) = meta
     n_mesh = len(mesh_types)
@@ -1447,14 +1438,45 @@ def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d,
                 jnp.where(active, 1.0, 0.0), jnp.where(specular, 1.0, 0.0),
                 prev_nl, ndif, nspec, nscat, gbuf)
 
+    return bounce
+
+
+def _st0(o, d, restir_slots):
+    """Initial lane-state carry for the bounce loop."""
+    zeros = jnp.zeros_like(o[0])
+    ones = jnp.ones_like(o[0])
+    zeros_i = jnp.zeros_like(o[0], jnp.int32)
     gbuf0 = tuple(
         (zeros,) * 9 + (zeros_i, jnp.full_like(zeros_i, -1), zeros)
         for _ in range(restir_slots))
-    st = (o, d, mask, acc,
-          jnp.where(active, 1.0, 0.0), jnp.where(specular, 1.0, 0.0),
-          prev_nl, ndif, nspec, nscat, gbuf0)
+    return (o, d, (ones, ones, ones), (zeros, zeros, zeros),
+            ones, ones, (zeros, ones, zeros),
+            zeros_i, zeros_i, zeros_i, gbuf0)
+
+
+def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d,
+                 unroll=True, restir_slots=0):
+    """Radiance of one SoA block.  Pure in (sv, o, d) — `sv` is a tuple of
+    per-mesh 36-scalar tuples (the SMEM table snapshot) so `jax.vjp` of
+    this function gives the exact adjoint w.r.t. scene params and rays.
+
+    With `restir_slots > 0` the kernel runs the ReSTIR split (VERDICT r1
+    next #1): diffuse-bounce NEE is *not* accumulated in-kernel; instead
+    the k-th diffuse vertex per lane (k < restir_slots) exports a
+    G-buffer record (hit pos, oriented normal, post-albedo throughput,
+    winner mesh index, bounce depth, valid flag) and the return value is
+    (acc, gbuf).  The host-side reservoir pipeline (ops/restir.py) then
+    shades those vertices — the reference engages ReSTIR from brdf on
+    exactly those bounces (raytracer.glsl:1899-1946)."""
+    bounce = _build_bounce(meta, cfg, sv, pix, pass_u, samp_u, o,
+                           restir_slots)
+    st = _st0(o, d, restir_slots)
     if unroll is True:
-        # full unroll: short loops trace fast and spill nothing
+        # full unroll: short loops trace fast and spill nothing.
+        # (A per-slot any-lane-alive lax.cond gate — which would carry
+        # the early exit into the adjoint replay too since cond
+        # transposes to cond — hits a Mosaic internal error on the
+        # mixed-i1 carried state; keep the slots unconditional here.)
         for depth in range(cfg.max_bounces):
             st = bounce(np.uint32(depth), st)
     else:
@@ -1463,9 +1485,19 @@ def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d,
         # 12-bounce kernel compiled ~4.5 min unrolled on v5e, VERDICT r1
         # weak #3) at identical results (counter RNG keys on depth), and
         # avoids the unrolled body's register spills (27x faster measured)
-        st = jax.lax.fori_loop(
-            0, cfg.max_bounces,
-            lambda i, s: bounce(i.astype(jnp.uint32), s), st)
+        # while_loop with an all-lanes-dead early exit: once every lane
+        # in the [BLOCK_ROWS, BLOCK_COLS] block has terminated (miss /
+        # emitter hit / luminance cutoff), the remaining bounce slots are
+        # identity and are skipped.  bounce() is a no-op on inactive
+        # lanes, so this is bit-identical to running all slots.
+        def _alive(c):
+            i, s = c
+            return (i < cfg.max_bounces) & (jnp.max(s[4]) > 0.5)
+
+        _, st = jax.lax.while_loop(
+            _alive,
+            lambda c: (c[0] + 1, bounce(c[0].astype(jnp.uint32), c[1])),
+            (jnp.int32(0), st))
     if restir_slots:
         return st[3], st[10]
     return st[3]
@@ -1570,7 +1602,12 @@ def _bwd_kernel_body(meta, cfg: RenderConfig, ft_ref, pp_ref,
     def f(sv, o, d):
         # Always unrolled: Mosaic cannot lower the stacked (extensive)
         # residuals a reverse-mode lax.scan needs, so the adjoint replay
-        # pays the unrolled compile (~46 s at 12 bounces, once per config).
+        # pays the unrolled compile (~46 s at 12 bounces, once per
+        # config).  Measured alternatives on v5e (512², 12 bounces) all
+        # lose to this whole-graph vjp (14.6 ms): hand-checkpointed
+        # per-bounce vjp 15.5 ms, + VMEM-stash CSE barrier 16.2 ms,
+        # fully rolled stash sweeps 17.9 ms (jax.checkpoint/remat2 and
+        # optimization_barrier have no Mosaic lowering at all).
         return _trace_block(meta, cfg, sv, pix, pass_u, samp_u, o, d,
                             unroll=True)
 

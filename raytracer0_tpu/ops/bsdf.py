@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -60,7 +61,16 @@ def sample(scene, cfg, hit, c, e, inside, rd, hero_wl,
     nt = scene.ior[hit.idx]
 
     rand_dir = smp.random_direction(nl, u_dir1, u_dir2, cfg.use_biased_sampling)
-    roughness = e * rand_dir  # emission doubles as glossiness (1812-1813)
+    # Emission doubles as glossiness (1812-1813).  The perturbation
+    # magnitude is *detached*: it only bends the sampled direction, and
+    # reparameterization gradients through a bounce direction cross
+    # geometric discontinuities (|dt/dd| -> inf at sphere silhouettes as
+    # the quadratic discriminant -> 0), yielding inf cotangents that
+    # become NaN through indicator-multiplied max/min JVPs.  This is the
+    # same detached-sampling estimator already used for the discrete
+    # reflect/refract choice (module docstring; SURVEY.md §7.2-1): the
+    # continuous integrand along the sampled path stays differentiable.
+    roughness = jax.lax.stop_gradient(e) * rand_dir
 
     nc = IOR_AIR
     if cfg.use_spectral:

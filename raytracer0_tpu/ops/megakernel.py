@@ -1019,16 +1019,8 @@ def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
 
     zeros = jnp.zeros_like(o[0])
     ones = jnp.ones_like(o[0])
-    zeros_i = jnp.zeros_like(o[0], jnp.int32)
-
-    mask = (ones, ones, ones)
-    acc = (zeros, zeros, zeros)
-    active = jnp.ones_like(o[0], bool)
-    specular = jnp.ones_like(o[0], bool)
-    prev_nl = (zeros, ones, zeros)
-    ndif = zeros_i
-    nspec = zeros_i
-    nscat = zeros_i
+    # (initial carry values live in _st0 — the single source of truth;
+    #  bounce() only ever sees the unpacked carry)
 
     if cfg.use_spectral:
         hero_wl = _hero_wavelength(pix, pass_u, samp_u)
@@ -1295,7 +1287,11 @@ def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
         uc = _uniform(pix, pass_u, samp_u, depth_u,
                       np.uint32(rng_mod.Stream.BSDF_CHOICE))
         rand_dir = _sample_biased(nl, u1, u2)
-        rough = _mul(e, rand_dir)
+        # glossiness magnitude detached — must mirror ops/bsdf.py so the
+        # hand-adjoint replay and jax.grad of the XLA path agree (the
+        # reparam gradient through the perturbed direction is divergent
+        # at geometric silhouettes; see bsdf.sample)
+        rough = _mul(tuple(sg(ei) for ei in e), rand_dir)
 
         if cfg.use_spectral:
             # Cauchy dispersion: negative IoR encodes the A coefficient
@@ -1471,7 +1467,7 @@ def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d,
     bounce = _build_bounce(meta, cfg, sv, pix, pass_u, samp_u, o,
                            restir_slots)
     st = _st0(o, d, restir_slots)
-    if unroll is True:
+    if unroll:
         # full unroll: short loops trace fast and spill nothing.
         # (A per-slot any-lane-alive lax.cond gate — which would carry
         # the early exit into the adjoint replay too since cond

@@ -139,6 +139,81 @@ def test_restir_state_rotation():
     np.testing.assert_array_equal(np.asarray(r.state.restir_hist1.m), first_back)
 
 
+def _warm_state(scene, cam, cfg, H, W, passes=2):
+    st = RenderState.create(H, W)
+    for p in range(passes):
+        _, nb = restir.render_sample(scene, cfg, cam, st, H, W,
+                                     jnp.uint32(p))
+        st = st.rotate_reservoirs(nb)
+    return st
+
+
+def test_restir_gradients_finite_nonzero():
+    """The north star's differentiable reservoir state (BASELINE.json):
+    jax.grad of a ReSTIR-enabled render w.r.t. scene emission must be
+    finite and nonzero — on both the batch preset and the animated one.
+    Regression for the round-2 NaN (divergent reparameterization gradient
+    through the emission-as-glossiness bounce perturbation, bsdf.sample)."""
+    import jax
+
+    for preset, kw in ((restir_demo, {}),
+                       (_animated_restir_small, {})):
+        scene, cam, cfg = preset(**kw)
+        cfg = cfg.replace(max_bounces=2, restir_samples=4,
+                          marching_steps=16)
+        H = W = 16
+        st = _warm_state(scene, cam, cfg, H, W)
+
+        def loss(emission):
+            sc = scene.replace(emission=emission)
+            rad, _ = restir.render_sample(sc, cfg, cam, st, H, W,
+                                          jnp.uint32(3))
+            return jnp.sum(rad)
+
+        g = np.asarray(jax.grad(loss)(scene.emission))
+        assert np.isfinite(g).all(), preset.__name__
+        assert np.any(g != 0.0), preset.__name__
+
+
+def _animated_restir_small():
+    from raytracer0_tpu.models.presets import animated_restir
+    return animated_restir()
+
+
+def test_restir_emission_grad_matches_fd():
+    """FD agreement on light emission through the full ReSTIR pipeline.
+
+    Scaling every light's emission by s scales all RIS candidate weights,
+    target values and shading linearly, leaving selection probabilities
+    and W invariant — so radiance is exactly linear in s and
+    d(loss)/ds must equal both the central difference AND loss(1) itself.
+    Any wrongly-detached (or NaN-poisoned) linear emission path in
+    candidates / temporal / spatial / finalize / shade breaks this."""
+    import jax
+
+    scene, cam, cfg = restir_demo()
+    cfg = cfg.replace(max_bounces=2, restir_samples=4, marching_steps=16)
+    H = W = 16
+    st = _warm_state(scene, cam, cfg, H, W, passes=3)
+    is_light = np.asarray(scene.mat_type) == 0  # MatType.LIGHT
+    lmask = jnp.asarray(is_light[:, None].astype(np.float32))
+
+    def loss(s):
+        em = scene.emission * (1.0 + (s - 1.0) * lmask)
+        sc = scene.replace(emission=em)
+        rad, _ = restir.render_sample(sc, cfg, cam, st, H, W,
+                                      jnp.uint32(4))
+        return jnp.sum(rad)
+
+    lf = jax.jit(loss)
+    g = float(jax.grad(loss)(jnp.float32(1.0)))
+    eps = 0.05
+    fd = (float(lf(jnp.float32(1.0 + eps))) -
+          float(lf(jnp.float32(1.0 - eps)))) / (2 * eps)
+    assert np.isfinite(g) and g > 0.0
+    assert abs(g - fd) <= 0.10 * abs(fd), (g, fd)
+
+
 def test_cast_rays_matches_intersect_interpret():
     """The fused Pallas nearest-hit kernel (shadow rays for the ReSTIR
     fast path) vs the XLA intersector, identical (t, idx, missed)."""

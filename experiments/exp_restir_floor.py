@@ -1,0 +1,45 @@
+"""Floor check: plain trace_forward on the restir_demo scene (same geometry,
+no ReSTIR) vs trace_forward_gbuffer — isolates the G-buffer split's own cost
+from the scene's intrinsic trace cost."""
+import time
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from raytracer0_tpu.models.presets import restir_demo
+from raytracer0_tpu.models import scene as scene_mod
+from raytracer0_tpu.models.camera import generate_rays
+from raytracer0_tpu.ops import megakernel
+from raytracer0_tpu.utils.profiling import sync
+from raytracer0_tpu import rng
+
+H = W = 512
+ITERS = 20
+scene, cam, cfg = restir_demo()
+scene_f = scene_mod.animate_positions(scene, 0.0, int(cfg.render_mode))
+pix = rng.pixel_ids(H, W)
+ro, rd = generate_rays(cam, H, W, jnp.uint32(0), sample_idx=0)
+
+def timeit(name, fn, *args):
+    f = jax.jit(fn)
+    t0 = time.perf_counter(); sync(f(*args)); comp = time.perf_counter() - t0
+    sync(f(*args))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(ITERS):
+        out = f(*args)
+    sync(out)
+    dt = (time.perf_counter() - t0) / ITERS
+    print(f"{name:34s} {dt*1e3:8.2f} ms (compile {comp:.1f}s)", flush=True)
+    return dt
+
+cfg_plain = cfg.replace(use_restir=False)
+timeit("trace_forward(restir_demo geom)", lambda ro, rd: megakernel.trace_forward(
+    scene_f, cfg_plain, ro, rd, pix, jnp.uint32(0), 0), ro, rd)
+timeit("gbuffer 4 slots", lambda ro, rd: megakernel.trace_forward_gbuffer(
+    scene_f, cfg, ro, rd, pix, jnp.uint32(0), 0), ro, rd)
+cfg6 = cfg.replace(max_bounces=6)
+timeit("gbuffer 4 slots 6 bounce", lambda ro, rd: megakernel.trace_forward_gbuffer(
+    scene_f, cfg6, ro, rd, pix, jnp.uint32(0), 0), ro, rd)
+cfg_m64 = cfg.replace(marching_steps=64)
+timeit("gbuffer 4 slots march64", lambda ro, rd: megakernel.trace_forward_gbuffer(
+    scene_f, cfg_m64, ro, rd, pix, jnp.uint32(0), 0), ro, rd)

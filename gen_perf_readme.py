@@ -1,0 +1,95 @@
+"""Regenerate README.md's performance table from a bench JSON line
+(VERDICT r2 next #6: no perf number in README that bench.py didn't
+produce).
+
+Usage:
+    python bench.py | tail -1 > /tmp/bench.json
+    python gen_perf_readme.py /tmp/bench.json
+    # or from a driver round file:
+    python gen_perf_readme.py BENCH_r02.json
+"""
+
+import json
+import sys
+
+START = "<!-- PERF_TABLE_START (gen_perf_readme.py) -->"
+END = "<!-- PERF_TABLE_END -->"
+
+
+def load_detail(path):
+    with open(path) as f:
+        data = json.load(f)
+    if "parsed" in data:  # driver BENCH_r*.json wrapper
+        data = data["parsed"]
+    return data
+
+
+def fmt(detail):
+    d = detail["detail"]
+    sol = d.get("sol", {})
+    rows = [
+        ("Cornell forward (12 bounces)",
+         f"{d['fwd_ms']} ms ({d['fwd_rays_per_s'] / 1e6:.0f}M rays/s)"),
+        ("Cornell forward+backward",
+         f"{d['fwd_bwd_ms']} ms ({detail['value'] / 1e6:.0f}M rays/s, "
+         f"bwd/fwd {sol.get('bwd_over_fwd', '?')}x)"),
+        ("ReSTIR (restir_demo, 9 lights)",
+         f"{d['restir_ms_per_pass']} ms "
+         f"(G-buffer trace {d.get('restir_gbuffer_ms', '?')} ms + "
+         f"reservoir phases/casts {d.get('restir_phases_ms', '?')} ms)"),
+        ("ReSTIR stress (41 lights)",
+         f"{d.get('restir_stress_ms_per_pass', '?')} ms"),
+        ("animated ReSTIR frame (6 bounces, EMA)",
+         f"{d.get('animated_restir_ms_per_frame', '?')} ms "
+         f"(reference animation gate: {d.get('animated_budget_ms', 16)} ms)"),
+        ("image-textured Cornell (deferred texels)",
+         f"{d.get('imgtex_ms_per_pass', '?')} ms"),
+        ("photographic cubemap (deferred fetches)",
+         f"{d.get('cubemap_ms_per_pass', '?')} ms"),
+        ("spectral+volumetric (config 5)",
+         f"{d['config5_ms_per_pass']} ms"),
+    ]
+    lines = [START,
+             "",
+             f"Headline: **{detail['value'] / 1e6:.0f}M fwd+bwd rays/s/chip** "
+             f"({detail['vs_baseline']}x the documented reference estimate, "
+             "see bench.py docstring). "
+             f"Steady-state per pass at {d['size']}, offline budget:",
+             "",
+             "| workload | measured |",
+             "|---|---|"]
+    for name, val in rows:
+        lines.append(f"| {name} | {val} |")
+    if sol:
+        lines += [
+            "",
+            f"Speed of light: {sol.get('xla_flops_per_step', 0) / 1e9:.1f} "
+            f"GFLOP/step (XLA cost oracle) → "
+            f"{sol.get('achieved_tflops', '?')} TFLOP/s ≈ "
+            f"{100 * (sol.get('sol_fraction') or 0):.0f}% of the "
+            f"{sol.get('device_kind', '?')} f32 vector peak "
+            "(select/compare-heavy VPU code; flop counts undercount). "
+            "Adjoint alternatives measured (ms): "
+            + ", ".join(f"{k} {v}" for k, v in
+                        sol.get("adjoint_alternatives_ms", {}).items()
+                        if k != "note") + ".",
+        ]
+    lines.append(END)
+    return "\n".join(lines)
+
+
+def main():
+    path = sys.argv[1]
+    detail = load_detail(path)
+    with open("README.md") as f:
+        readme = f.read()
+    a = readme.index(START)
+    b = readme.index(END) + len(END)
+    readme = readme[:a] + fmt(detail) + readme[b:]
+    with open("README.md", "w") as f:
+        f.write(readme)
+    print("README.md perf table regenerated from", path)
+
+
+if __name__ == "__main__":
+    main()

@@ -235,6 +235,71 @@ def spectral_caustics(**cfg_kw):
     return scene, camera, cfg
 
 
+def textured_cornell(**cfg_kw):
+    """Framework extra: the Cornell box with an IMAGE1-textured diffuse
+    sphere — the reference's default-look image-texture path (raytracer
+    .glsl:726-772 IMAGE branch + spherical UV 1055-1059).  Ships with a
+    deterministic synthetic 64² texture; real tex0-3.png stacks load via
+    `SceneBuilder.images` / CLI `--tex`."""
+    import numpy as np
+    from raytracer0_tpu.models.materials import MeshType
+    from raytracer0_tpu.models.scene import SceneBuilder
+    import jax.numpy as jnp
+
+    g = np.linspace(0.0, 1.0, 64, dtype=np.float32)
+    images = np.ones((4, 64, 64, 4), np.float32)
+    images[1, ..., 0] = 0.3 + 0.7 * g[None, :]
+    images[1, ..., 1] = 0.3 + 0.7 * g[:, None]
+    images[1, ..., 2] = 0.5 + 0.5 * np.sin(g[:, None] * 19.0) * np.cos(g[None, :] * 23.0)
+
+    sb = SceneBuilder()
+    sb.add("MAT_WHITE", MeshType.PLANE, (0.0, 1.0, 0.0), (2.0,))
+    sb.add("MAT_WHITE", MeshType.PLANE, (0.0, -1.0, 0.0), (2.0,))
+    sb.add("MAT_GREEN", MeshType.PLANE, (1.0, 0.0, 0.0), (2.0,))
+    sb.add("MAT_RED", MeshType.PLANE, (-1.0, 0.0, 0.0), (2.0,))
+    sb.add("MAT_WHITE", MeshType.PLANE, (0.0, 0.0, 1.0), (2.0,))
+    sb.add("MAT_WHITE", MeshType.PLANE, (0.0, 0.0, -1.0), (2.0,))
+    sb.add("MAT_LIGHT_4", MeshType.SPHERE, (0.0, 1.6, 0.0), (0.3,))
+    sb.add("MAT_TEST", MeshType.SPHERE, (0.0, -0.8, 0.0), (0.7,))
+    scene = sb.build().replace(images=jnp.asarray(images))
+    camera = Camera.make(origin=(0.0, 0.0, 1.9), lookat=(0.0, -0.4, -1.0),
+                         fov=60.0)
+    cfg = _cfg(use_procedural_sky=False, **cfg_kw)
+    return scene, camera, cfg
+
+
+def cubemap_demo(cubemap=None, **cfg_kw):
+    """Framework extra: an open scene under a *photographic* cubemap —
+    the reference's Tropical Beach environment (index.js:302-331,
+    index.html:267-270).  Pass `cubemap` as f32[6, H, W, 3] (e.g.
+    `utils.image.load_cubemap_dir(".../Tropical Beach")`); defaults to a
+    deterministic synthetic 256² sky so the preset is standalone."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    scene = parse_scene("""
+        MAT_WHITE, PLANE, vec3(0.0, 1.0, 0.0), vec4(2.0)
+        MAT_LIGHT_4, SPHERE, vec3(0.8, 1.2, 0.0), vec4(0.1)
+        MAT_WHITE, SPHERE, vec3(0.0, -0.4, 0.0), vec4(0.6)
+        MAT_MIRROR, SPHERE, vec3(-1.2, -0.4, -0.6), vec4(0.5)
+    """)
+    if cubemap is None:
+        n = 256
+        g = np.linspace(0.0, 1.0, n, dtype=np.float32)
+        faces = np.zeros((6, n, n, 3), np.float32)
+        for f in range(6):
+            faces[f, :, :, 0] = 0.25 + 0.08 * f
+            faces[f, :, :, 1] = 0.4 + 0.5 * g[:, None]
+            faces[f, :, :, 2] = 0.6 + 0.4 * g[None, :]
+        cubemap = faces
+    scene = scene.replace(cubemap=jnp.asarray(np.asarray(cubemap, np.float32)),
+                          cubemap_is_procedural=False)
+    camera = Camera.make(origin=(0.0, 0.2, 2.6), lookat=(0.0, -0.2, -1.0),
+                         fov=60.0)
+    cfg = _cfg(use_cubemap=True, use_procedural_sky=False, **cfg_kw)
+    return scene, camera, cfg
+
+
 PRESETS = {
     "cornell_default": cornell_default,
     "default": default_scene,
@@ -246,4 +311,6 @@ PRESETS = {
     "restir_stress": restir_stress,
     "animated_restir": animated_restir,
     "spectral_caustics": spectral_caustics,
+    "textured_cornell": textured_cornell,
+    "cubemap_demo": cubemap_demo,
 }

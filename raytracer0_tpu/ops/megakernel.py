@@ -449,7 +449,7 @@ def _textures_supported(scene) -> bool:
     return True
 
 
-def _geometry_supported(scene) -> bool:
+def _geometry_supported(scene, check_textures=True) -> bool:
     """Scene-side support: primitive set, SDF shapes, light slots."""
     na = scene.num_analytic
     analytic_ok = all(
@@ -465,8 +465,8 @@ def _geometry_supported(scene) -> bool:
                    and scene.mesh_types_static[li] == int(MeshType.SPHERE)
                    and scene.mat_types_static[li] == int(MatType.LIGHT))
         for li in scene.lights_static)
-    return bool(_textures_supported(scene) and analytic_ok and sdf_ok
-                and lights_ok)
+    return bool((not check_textures or _textures_supported(scene))
+                and analytic_ok and sdf_ok and lights_ok)
 
 
 def supported(scene, cfg: RenderConfig) -> bool:
@@ -794,15 +794,68 @@ def _geometry(meta, cfg: RenderConfig, sv):
 
     sv_sg = tuple(tuple(sg(v) for v in row) for row in sv) if n_sdf else sv
 
+    def _sdf_bound_radius(shape, jk):
+        """Conservative bounding-sphere radius of one SDF entry around its
+        center, or None when no cheap bound exists (rotation-invariant, so
+        the animated rotate-Y never escapes it; the bob moves the center,
+        which the host pre-animates into `pos`)."""
+        j0, j1, j2, j3 = jk
+        norm3 = jnp.sqrt(j0 * j0 + j1 * j1 + j2 * j2)
+        s = int(shape)
+        if s in (int(SdfShape.BOX), int(SdfShape.MENGER_SPONGE)):
+            return norm3 * 1.05 + 0.05
+        if s == int(SdfShape.ROUND_BOX):
+            return norm3 * 1.05 + jnp.abs(j3) + 0.05
+        if s == int(SdfShape.SPHERE):
+            return jnp.abs(j0) + 0.05
+        if s == int(SdfShape.SNOWBALL):
+            return jnp.abs(j0) + 0.15
+        if s == int(SdfShape.MANDELBULB):
+            return jnp.asarray(2.5, jnp.float32)  # escape radius ~1.5
+        if s == int(SdfShape.ELLIPSOID):
+            return jnp.abs(j0) + jnp.abs(j1) + jnp.abs(j2) + 0.05
+        return None
+
     def sdf_march(o, d, tlimit):
         """Sphere trace (ops/sdf.march semantics): non-differentiated
-        fori march + implicit-function reattachment of the hit t."""
+        fori march + implicit-function reattachment of the hit t.
+
+        Bounding-sphere gate: lanes whose ray cannot enter any SDF
+        entry's conservative bound within [0, tlimit] are marked done at
+        entry (and forced invalid) — a lane outside every bound can never
+        converge to |dist|<eps inside tlimit, so this is bit-exact, and
+        whole blocks away from the SDFs skip the march loop entirely
+        (the march was ~9 ms of the 44 ms restir_demo pass at 512²)."""
         o_s = tuple(sg(x) for x in o)
         d_s = tuple(sg(x) for x in d)
         tl = sg(tlimit)
         t0 = jnp.full_like(o[0], eps * 4.0)
         d0, _ = sdf_map(_add(o_s, _scale(d_s, t0)), sv_sg)
         done0 = jnp.where(jnp.abs(d0) < eps, 1.0, 0.0)
+
+        bound_rs = [_sdf_bound_radius(sdf_shapes[k],
+                                      (sv_sg[n_analytic + k][_C_J0],
+                                       sv_sg[n_analytic + k][_C_J1],
+                                       sv_sg[n_analytic + k][_C_J2],
+                                       sv_sg[n_analytic + k][_C_J3]))
+                    for k in range(n_sdf)]
+        if n_sdf and all(r is not None for r in bound_rs):
+            can_hit = jnp.zeros_like(done0) > 1.0
+            for k, rb in enumerate(bound_rs):
+                pos = tuple(sg(v) for v in mesh_p(n_analytic + k))
+                oc = _sub(o_s, pos)
+                b = _dot(oc, d_s)
+                cq = _dot(oc, oc) - rb * rb
+                disc = b * b - cq
+                sq = _safe_sqrt(disc)
+                enter = -b - sq
+                exit_t = -b + sq
+                can_hit = can_hit | ((disc > 0.0) & (exit_t > 0.0)
+                                     & (enter < tl))
+            bound_miss = ~can_hit
+            done0 = jnp.maximum(done0, jnp.where(bound_miss, 1.0, 0.0))
+        else:
+            bound_miss = None
 
         # Chunked early exit: bursts of fixed unrolled steps with an
         # all-lanes-done check between bursts.  A per-step dynamic check
@@ -832,6 +885,8 @@ def _geometry(meta, cfg: RenderConfig, sv):
         _, t_star, _ = jax.lax.while_loop(
             cond, body, (jnp.zeros((), jnp.int32), t0, done0))
         valid = t_star <= tl
+        if bound_miss is not None:
+            valid = valid & ~bound_miss
         # Escaped lanes settle far out where unbounded fields (Mandelbulb)
         # overflow f32 to NaN and poison reverse-mode even at zero
         # cotangent — pin their evaluation point to the ray origin
@@ -905,14 +960,38 @@ def _geometry(meta, cfg: RenderConfig, sv):
             idx = jnp.where(wins, n_analytic + ord_i, idx)
         return tmin, idx
 
+    # Winner-parameter columns actually consumed by the bounce body.
+    _SEL_COLS = (_C_PX, _C_PY, _C_PZ, _C_J0, _C_CR, _C_CG, _C_CB,
+                 _C_ER, _C_EG, _C_EB, _C_NT)
+
     def select_mesh_params(idx):
-        """Per-lane winner params via select over the static mesh list."""
-        zeros = jnp.zeros_like(idx, jnp.float32)
-        cols = [zeros] * _NCOLS
-        for i in range(n_mesh):
-            m = idx == i
-            for c in range(_NCOLS):
-                cols[c] = jnp.where(m, sv[i][c], cols[c])
+        """Per-lane winner params via select over the static mesh list
+        (the 11 consumed columns only).
+
+        An in-kernel one-hot MXU contraction was measured at 89.9 ms vs
+        42.2 ms for the select chain on restir_demo/512²/v5e (bit-equal
+        results) — Mosaic's tiny-K dot lowering loses badly, unlike the
+        XLA-level one-hot trick in ops/restir.  Kept behind
+        RT0_MXU_SELECT=1 for future A/B."""
+        if os.environ.get("RT0_MXU_SELECT") != "1":
+            zeros = jnp.zeros_like(idx, jnp.float32)
+            cols = {c: zeros for c in _SEL_COLS}
+            for i in range(n_mesh):
+                m = idx == i
+                for c in _SEL_COLS:
+                    cols[c] = jnp.where(m, sv[i][c], cols[c])
+        else:
+            table = jnp.stack([
+                jnp.stack([sv[i][c] for c in _SEL_COLS])
+                for i in range(n_mesh)])                    # [n_mesh, 11]
+            oh = (idx[..., None] == jax.lax.broadcasted_iota(
+                jnp.int32, idx.shape + (n_mesh,), idx.ndim)
+            ).astype(jnp.float32)
+            res = jax.lax.dot_general(
+                oh, table, (((oh.ndim - 1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)         # [R, C, 11]
+            cols = {c: res[..., k] for k, c in enumerate(_SEL_COLS)}
         return ((cols[_C_PX], cols[_C_PY], cols[_C_PZ]), cols[_C_J0],
                 (cols[_C_CR], cols[_C_CG], cols[_C_CB]),
                 (cols[_C_ER], cols[_C_EG], cols[_C_EB]), cols[_C_NT])
@@ -944,10 +1023,49 @@ def _geometry(meta, cfg: RenderConfig, sv):
 
 
 def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
-                  restir_slots=0):
+                  restir_slots=0, env_slots=0, gbuf_refs=None,
+                  env_refs=None, tex_slots=0, tex_refs=None,
+                  tex_acc_refs=None):
     """Build the one-bounce transition function on the explicit lane-state
     carry, closed over the scene values `sv` (raytracer.glsl:1986-2105
-    radiance-loop body)."""
+    radiance-loop body).
+
+    `env_slots > 0` runs the *deferred-cubemap* split (VERDICT r2 next
+    #3): with a photographic cubemap (pc_size == 0) the kernel cannot
+    fetch texels (Mosaic has no per-lane gather), but every cubemap
+    fetch is *terminal* — a miss ends the path, and the per-diffuse-
+    bounce environment gather (raytracer.glsl:1888-1897) contributes
+    weight x cubemap(dir) with nothing downstream depending on the
+    texel.  So the kernel exports (throughput, direction) records — one
+    miss record per lane plus one per diffuse ordinal — and the host
+    wrapper adds `sum_k w_k * sample_cubemap(d_k)` with full-resolution
+    XLA bilinear gathers afterward.  Exact parity with the XLA wavefront
+    path, no in-kernel texture memory at all.
+
+    Slot records (G-buffer and env) are written *directly to the output
+    refs* (`gbuf_refs`/`env_refs`) as masked read-modify-writes instead
+    of being carried through the bounce loop: carrying 12 x slots block
+    arrays through the rolled while_loop cost ~10 ms/slot at 512² on
+    v5e (register pressure/spills — measured 44 ms at 4 slots vs 12.7 ms
+    at 1), while VMEM-resident ref updates are bandwidth-trivial.
+
+    `tex_slots > 0` runs the *deferred image-texture* split (VERDICT r2
+    next #3, getTexel's IMAGE0-3 branch, raytracer.glsl:726-772): image
+    texels are per-lane gathers the kernel cannot do, but on DIFF
+    surfaces the texel only scales the throughput multiplicatively.  The
+    kernel shades with a fixed placeholder texel (0.5 gray, alpha 1),
+    counts image-texture vertices per lane (`ntex`), splits the
+    accumulator by that count (group 0 in the carry, groups 1..K in
+    `tex_acc_refs`), and records each vertex's (hit pos, mesh idx) in
+    `tex_refs`.  The host wrapper recomputes the true texel per record —
+    spherical/dominant-axis UV included, so UV-textured *spheres* need
+    no in-kernel asin — and reconstitutes
+    radiance = sum_g (prod_{j<=g} rho_j) * acc_g with
+    rho_j = c_true/c_placeholder.  Exact because image rows are gated to
+    DIFF analytic meshes (no texel->direction coupling) with color-only
+    blending, and ntex <= ndif <= max_diff_bounces bounds the count.
+    Sole residual deviation: the luminance cutoff (raytracer.glsl:2097)
+    sees the placeholder throughput (documented in PARITY.md)."""
     (mesh_types, mat_types, lights, sdf_shapes, n_analytic,
      tex_types, opts_ce, pc_size) = meta
     n_mesh = len(mesh_types)
@@ -1021,6 +1139,10 @@ def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
     ones = jnp.ones_like(o[0])
     # (initial carry values live in _st0 — the single source of truth;
     #  bounce() only ever sees the unpacked carry)
+    img_rows = [i for i in range(n_mesh)
+                if tex_slots and len(tex_types) == n_mesh
+                and int(TexType.IMAGE0) <= tex_types[i] <= int(TexType.IMAGE3)
+                and (opts_ce[i][0] or opts_ce[i][1])]
 
     if cfg.use_spectral:
         hero_wl = _hero_wavelength(pix, pass_u, samp_u)
@@ -1030,8 +1152,34 @@ def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
         numpy constant when unrolled (bit-identical constant folding) or
         a traced uint32 under fori_loop.  The boolean lane masks travel
         as f32 0/1 (Mosaic can't carry i1 vectors through scf loops)."""
-        (o, d, mask, acc, active_f, specular_f, prev_nl,
-         ndif, nspec, nscat, gbuf) = st
+        if tex_slots:
+            (o, d, mask, acc, active_f, specular_f, prev_nl,
+             ndif, nspec, nscat, ntex) = st
+        else:
+            (o, d, mask, acc, active_f, specular_f, prev_nl,
+             ndif, nspec, nscat) = st
+            ntex = None
+
+        def acc_add(acc, gate, vr, vg, vb, cnt=None):
+            """Accumulate a gated contribution; with the image-texture
+            split, route it to the group selected by the lane's current
+            texture-vertex count (group 0 stays in the carry, the rest
+            read-modify-write tex_acc_refs)."""
+            if not tex_slots:
+                return (acc[0] + jnp.where(gate, vr, 0.0),
+                        acc[1] + jnp.where(gate, vg, 0.0),
+                        acc[2] + jnp.where(gate, vb, 0.0))
+            g0 = gate & (cnt == 0)
+            out = (acc[0] + jnp.where(g0, vr, 0.0),
+                   acc[1] + jnp.where(g0, vg, 0.0),
+                   acc[2] + jnp.where(g0, vb, 0.0))
+            for g in range(1, tex_slots + 1):
+                selg = gate & (cnt == g)
+                for j, v in enumerate((vr, vg, vb)):
+                    r = tex_acc_refs[3 * (g - 1) + j]
+                    r[...] = jnp.where(selg, r[...] + v, r[...])
+            return out
+
         active = active_f > 0.5
         specular = specular_f > 0.5
         tmin, idx = intersect(o, d)
@@ -1089,9 +1237,8 @@ def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
                     vr = vr + jnp.where(reached, lc[0], 0.0)
                     vg = vg + jnp.where(reached, lc[1], 0.0)
                     vb = vb + jnp.where(reached, lc[2], 0.0)
-                acc = (acc[0] + jnp.where(scatters, mask[0] * vr, 0.0),
-                       acc[1] + jnp.where(scatters, mask[1] * vg, 0.0),
-                       acc[2] + jnp.where(scatters, mask[2] * vb, 0.0))
+                acc = acc_add(acc, scatters, mask[0] * vr, mask[1] * vg,
+                              mask[2] * vb, ntex)
 
             hg1, hg2 = _uniform2(pix, pass_u, samp_u, depth_u,
                                  np.uint32(rng_mod.Stream.VOL_PHASE))
@@ -1122,9 +1269,15 @@ def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
             sky = None
         if sky is not None:
             env_gate = missed & env_allowed
-            acc = (acc[0] + jnp.where(env_gate, mask[0] * sky[0], 0.0),
-                   acc[1] + jnp.where(env_gate, mask[1] * sky[1], 0.0),
-                   acc[2] + jnp.where(env_gate, mask[2] * sky[2], 0.0))
+            acc = acc_add(acc, env_gate, mask[0] * sky[0], mask[1] * sky[1],
+                          mask[2] * sky[2], ntex)
+        elif env_slots:
+            # deferred cubemap: each lane misses at most once (miss
+            # terminates) — record (throughput, direction) for the host
+            env_gate = missed & env_allowed
+            for j, v in enumerate((mask[0], mask[1], mask[2],
+                                   d[0], d[1], d[2])):
+                env_refs[j][...] = jnp.where(env_gate, v, env_refs[j][...])
         active = active & ~missed
 
         hit_pos = _add(o, _scale(d, t_eff))
@@ -1232,6 +1385,13 @@ def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
                 elif t == int(TexType.METAL):
                     val = _metal_fbm_k(scaled)
                     texel = put(t, (val, val, val, val))
+                elif (tex_slots
+                      and int(TexType.IMAGE0) <= t <= int(TexType.IMAGE3)):
+                    # deferred image texture: fixed placeholder texel —
+                    # the host wrapper divides the true/placeholder color
+                    # ratio back in (see module docstring)
+                    half = jnp.full_like(zeros, 0.5)
+                    texel = put(t, (half, half, half, ones))
 
             gate_c = lane_mask(idx, lambda i: i in tex_rows
                                and opts_ce[i][0])
@@ -1269,9 +1429,9 @@ def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
         else:
             mis_w = ones
         lgate = is_light
-        acc = (acc[0] + jnp.where(lgate, mask[0] * c[0] * e[0] * mis_w, 0.0),
-               acc[1] + jnp.where(lgate, mask[1] * c[1] * e[1] * mis_w, 0.0),
-               acc[2] + jnp.where(lgate, mask[2] * c[2] * e[2] * mis_w, 0.0))
+        acc = acc_add(acc, lgate, mask[0] * c[0] * e[0] * mis_w,
+                      mask[1] * c[1] * e[1] * mis_w,
+                      mask[2] * c[2] * e[2] * mis_w, ntex)
         active = active & ~is_light
         surface = surface & ~is_light
         # DIR_LIGHT-material surfaces terminate
@@ -1352,6 +1512,22 @@ def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
         mask_after = _where3(attenuates, _mul(mask, c), mask)
         bs_specular = is_spec | is_refr | (is_coat & coat_spec)
 
+        if tex_slots:
+            # deferred image texture: record this vertex (hit pos + mesh
+            # idx — the host recomputes UV and the texel ratio) and bump
+            # the per-lane texture-vertex count; contributions computed
+            # *after* this vertex's albedo use the bumped count
+            tex_hit = surface & lane_mask(idx, lambda i: i in img_rows)
+            for k in range(tex_slots):
+                selk = tex_hit & (ntex == k)
+                for j, v in enumerate((hit_pos[0], hit_pos[1], hit_pos[2],
+                                       idx, jnp.ones_like(hit_pos[0]))):
+                    r = tex_refs[5 * k + j]
+                    r[...] = jnp.where(selk, v, r[...])
+            ntex_post = ntex + jnp.where(tex_hit, 1, 0)
+        else:
+            ntex_post = None
+
         one_i = jnp.ones_like(ndif)
         zero_i = jnp.zeros_like(ndif)
         diff_inc = jnp.where(is_diff | (is_coat & ~coat_spec), one_i, zero_i)
@@ -1361,7 +1537,7 @@ def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
 
         diffuse_lane = surface & ~bs_specular
 
-        if cfg.use_cubemap and pc_size:
+        if cfg.use_cubemap and (pc_size or env_slots):
             # ---- cubemap gather ray on diffuse bounces (integrator.py:
             # 239-250, raytracer.glsl:1888-1897): one biased-hemisphere
             # ray; env added where it escapes ----
@@ -1371,42 +1547,45 @@ def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
             env_o = _add(hit_pos, _scale(nl, eps))
             env_t, _env_i = intersect(env_o, env_dir)
             env_missed = env_t > 1e30
-            env_rad = _proc_cubemap_sample(env_dir, pc_size)
             env_g = diffuse_lane & env_missed
-            acc = (acc[0] + jnp.where(env_g, mask_after[0] * env_rad[0], 0.0),
-                   acc[1] + jnp.where(env_g, mask_after[1] * env_rad[1], 0.0),
-                   acc[2] + jnp.where(env_g, mask_after[2] * env_rad[2], 0.0))
+            if pc_size:
+                env_rad = _proc_cubemap_sample(env_dir, pc_size)
+                acc = acc_add(acc, env_g, mask_after[0] * env_rad[0],
+                              mask_after[1] * env_rad[1],
+                              mask_after[2] * env_rad[2], ntex_post)
+            else:
+                # deferred cubemap: record the k-th diffuse env gather
+                # (the weight already gates on the in-kernel escape test)
+                for k in range(env_slots):
+                    sel = env_g & (ndif == k)
+                    base = 6 * (1 + k)
+                    for j, v in enumerate((mask_after[0], mask_after[1],
+                                           mask_after[2], env_dir[0],
+                                           env_dir[1], env_dir[2])):
+                        r = env_refs[base + j]
+                        r[...] = jnp.where(sel, v, r[...])
 
         if restir_slots:
             # ---- G-buffer export instead of in-kernel NEE: the k-th
             # diffuse vertex of each lane records its shading inputs for
             # the host-side reservoir pipeline (ReSTIR split) ----
-            new_gbuf = []
-            for k, slot in enumerate(gbuf):
+            for k in range(restir_slots):
                 sel = diffuse_lane & (ndif == k)
-                (px, py, pz, nx, ny, nz, mr, mg, mb,
-                 g_idx, g_depth, g_valid) = slot
-                new_gbuf.append((
-                    jnp.where(sel, hit_pos[0], px),
-                    jnp.where(sel, hit_pos[1], py),
-                    jnp.where(sel, hit_pos[2], pz),
-                    jnp.where(sel, nl[0], nx),
-                    jnp.where(sel, nl[1], ny),
-                    jnp.where(sel, nl[2], nz),
-                    jnp.where(sel, mask_after[0], mr),
-                    jnp.where(sel, mask_after[1], mg),
-                    jnp.where(sel, mask_after[2], mb),
-                    jnp.where(sel, idx, g_idx),
-                    jnp.where(sel, depth_u.astype(jnp.int32), g_depth),
-                    jnp.where(sel, 1.0, g_valid),
-                ))
-            gbuf = tuple(new_gbuf)
+                base = 12 * k
+                vals = (hit_pos[0], hit_pos[1], hit_pos[2],
+                        nl[0], nl[1], nl[2],
+                        mask_after[0], mask_after[1], mask_after[2],
+                        idx, depth_u.astype(jnp.int32),
+                        jnp.ones_like(hit_pos[0]))
+                for j, v in enumerate(vals):
+                    r = gbuf_refs[base + j]
+                    r[...] = jnp.where(sel, v, r[...])
         elif cfg.sample_lights and any(li >= 0 for li in lights):
             # ---- NEE ----
             nee = shade_nee(hit_pos, nl, depth_u)
-            acc = (acc[0] + jnp.where(diffuse_lane, nee[0] * mask_after[0], 0.0),
-                   acc[1] + jnp.where(diffuse_lane, nee[1] * mask_after[1], 0.0),
-                   acc[2] + jnp.where(diffuse_lane, nee[2] * mask_after[2], 0.0))
+            acc = acc_add(acc, diffuse_lane, nee[0] * mask_after[0],
+                          nee[1] * mask_after[1], nee[2] * mask_after[2],
+                          ntex_post)
 
         # ---- commit lane state ----
         o = _where3(surface, new_o, o)
@@ -1430,28 +1609,33 @@ def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
             o = _where3(scatters, scatter_pos, o)
             d = _where3(scatters, hg_dir, d)
 
-        return (o, d, mask, acc,
-                jnp.where(active, 1.0, 0.0), jnp.where(specular, 1.0, 0.0),
-                prev_nl, ndif, nspec, nscat, gbuf)
+        out = (o, d, mask, acc,
+               jnp.where(active, 1.0, 0.0), jnp.where(specular, 1.0, 0.0),
+               prev_nl, ndif, nspec, nscat)
+        if tex_slots:
+            out = out + (ntex_post,)
+        return out
 
     return bounce
 
 
-def _st0(o, d, restir_slots):
+def _st0(o, d, tex_slots=0):
     """Initial lane-state carry for the bounce loop."""
     zeros = jnp.zeros_like(o[0])
     ones = jnp.ones_like(o[0])
     zeros_i = jnp.zeros_like(o[0], jnp.int32)
-    gbuf0 = tuple(
-        (zeros,) * 9 + (zeros_i, jnp.full_like(zeros_i, -1), zeros)
-        for _ in range(restir_slots))
-    return (o, d, (ones, ones, ones), (zeros, zeros, zeros),
-            ones, ones, (zeros, ones, zeros),
-            zeros_i, zeros_i, zeros_i, gbuf0)
+    st = (o, d, (ones, ones, ones), (zeros, zeros, zeros),
+          ones, ones, (zeros, ones, zeros),
+          zeros_i, zeros_i, zeros_i)
+    if tex_slots:
+        st = st + (zeros_i,)  # ntex: image-texture vertices so far
+    return st
 
 
 def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d,
-                 unroll=True, restir_slots=0):
+                 unroll=True, restir_slots=0, env_slots=0,
+                 gbuf_refs=None, env_refs=None, tex_slots=0,
+                 tex_refs=None, tex_acc_refs=None):
     """Radiance of one SoA block.  Pure in (sv, o, d) — `sv` is a tuple of
     per-mesh 36-scalar tuples (the SMEM table snapshot) so `jax.vjp` of
     this function gives the exact adjoint w.r.t. scene params and rays.
@@ -1465,8 +1649,9 @@ def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d,
     shades those vertices — the reference engages ReSTIR from brdf on
     exactly those bounces (raytracer.glsl:1899-1946)."""
     bounce = _build_bounce(meta, cfg, sv, pix, pass_u, samp_u, o,
-                           restir_slots)
-    st = _st0(o, d, restir_slots)
+                           restir_slots, env_slots, gbuf_refs, env_refs,
+                           tex_slots, tex_refs, tex_acc_refs)
+    st = _st0(o, d, tex_slots)
     if unroll:
         # full unroll: short loops trace fast and spill nothing.
         # (A per-slot any-lane-alive lax.cond gate — which would carry
@@ -1494,8 +1679,6 @@ def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d,
             _alive,
             lambda c: (c[0] + 1, bounce(c[0].astype(jnp.uint32), c[1])),
             (jnp.int32(0), st))
-    if restir_slots:
-        return st[3], st[10]
     return st[3]
 
 
@@ -1746,20 +1929,24 @@ def _gbuf_kernel_body(meta, cfg: RenderConfig, slots, ft_ref, pp_ref,
     sv = _load_scene_vals(ft_ref, len(meta[0]))
     pass_u = pp_ref[0, 0].astype(jnp.uint32)
     samp_u = pp_ref[0, 1].astype(jnp.uint32)
-    acc, gbuf = _trace_block(
+    gbuf_refs = out_refs[3:]
+    # initialize the slot records (the bounce loop read-modify-writes them)
+    for k in range(slots):
+        for j in range(12):
+            r = gbuf_refs[12 * k + j]
+            if j == 10:  # depth
+                r[...] = jnp.full_like(r[...], -1)
+            else:
+                r[...] = jnp.zeros_like(r[...])
+    acc = _trace_block(
         meta, cfg, sv, pix_ref[:], pass_u, samp_u,
         (ox_ref[:], oy_ref[:], oz_ref[:]),
         (dx_ref[:], dy_ref[:], dz_ref[:]),
         unroll=cfg.max_bounces < cfg.megakernel_unroll_below,
-        restir_slots=slots)
+        restir_slots=slots, gbuf_refs=gbuf_refs)
     out_refs[0][:] = acc[0]
     out_refs[1][:] = acc[1]
     out_refs[2][:] = acc[2]
-    n = 3
-    for slot in gbuf:
-        for v in slot:
-            out_refs[n][:] = v
-            n += 1
 
 
 def trace_forward_gbuffer(scene, cfg: RenderConfig, ro, rd, pix,
@@ -1877,3 +2064,377 @@ def cast_rays(scene, cfg: RenderConfig, ro, rd):
       rd[..., 0], rd[..., 1], rd[..., 2])
     missed = t > 1e30
     return jnp.where(missed, cfg.infinity, t), jnp.where(missed, 0, idx), missed
+
+
+# ----------------------------------------------------------------------
+# Deferred-cubemap forward kernel (photographic/user cubemaps)
+# ----------------------------------------------------------------------
+
+def supported_env(scene, cfg: RenderConfig) -> bool:
+    """Can the deferred-cubemap split serve this (scene, cfg)?  Same
+    class as `supported` except the cubemap is *photographic* — the
+    kernel exports (weight, direction) records for every cubemap fetch
+    (all terminal; see _build_bounce) and the host wrapper resolves them
+    with full-resolution XLA bilinear gathers (index.js:302-331,
+    raytracer.glsl:2059-2063, 1888-1897)."""
+    return (
+        _geometry_supported(scene)
+        and not cfg.use_restir
+        and cfg.use_cubemap
+        and not scene.cubemap_is_procedural
+        and cfg.use_biased_sampling
+        and int(cfg.render_mode) == int(RenderMode.STATIC)
+    )
+
+
+def _env_kernel_body(meta, cfg: RenderConfig, slots, ft_ref, pp_ref,
+                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                     pix_ref, *out_refs):
+    sv = _load_scene_vals(ft_ref, len(meta[0]))
+    pass_u = pp_ref[0, 0].astype(jnp.uint32)
+    samp_u = pp_ref[0, 1].astype(jnp.uint32)
+    env_refs = out_refs[3:]
+    for r in env_refs:
+        r[...] = jnp.zeros_like(r[...])
+    acc = _trace_block(
+        meta, cfg, sv, pix_ref[:], pass_u, samp_u,
+        (ox_ref[:], oy_ref[:], oz_ref[:]),
+        (dx_ref[:], dy_ref[:], dz_ref[:]),
+        unroll=cfg.max_bounces < cfg.megakernel_unroll_below,
+        env_slots=slots, env_refs=env_refs)
+    out_refs[0][:] = acc[0]
+    out_refs[1][:] = acc[1]
+    out_refs[2][:] = acc[2]
+
+
+def _env_forward(scene, cfg: RenderConfig, ro, rd, pix, pass_idx,
+                 sample_idx):
+    from raytracer0_tpu.ops import sky as sky_mod
+
+    h, w = pix.shape
+    assert supports_shape(h, w), (h, w)
+    slots = min(cfg.max_diff_bounces, cfg.max_bounces)
+    meta = (scene.mesh_types_static, scene.mat_types_static,
+            scene.lights_static, scene.sdf_shapes_static,
+            scene.num_analytic, scene.tex_types_static, scene.opts_static,
+            0)  # photographic cubemap: pc_size = 0 engages the deferral
+    ft = _scene_table(scene)
+    pp = jnp.asarray([[pass_idx, sample_idx]], jnp.int32).reshape(1, 2)
+
+    grid = (h // BLOCK_ROWS, w // BLOCK_COLS)
+    row_spec = _row_spec()
+    kernel = functools.partial(_env_kernel_body, meta, cfg, slots)
+    interpret = os.environ.get("RT0_PALLAS_INTERPRET") == "1"
+    n_rec = 1 + slots
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # ft
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # pp
+            row_spec, row_spec, row_spec,            # o
+            row_spec, row_spec, row_spec,            # d
+            row_spec,                                # pix
+        ],
+        out_specs=[row_spec] * (3 + 6 * n_rec),
+        out_shape=[jax.ShapeDtypeStruct((h, w), jnp.float32)] * (3 + 6 * n_rec),
+    )(ft, pp, ro[..., 0], ro[..., 1], ro[..., 2],
+      rd[..., 0], rd[..., 1], rd[..., 2], pix)
+
+    radiance = jnp.stack(outs[0:3], axis=-1)
+    # resolve the deferred fetches: full-res bilinear gathers in XLA,
+    # all records batched into ONE sample_cubemap call (one gather op
+    # per bilinear tap instead of n_rec) — zero-weight records contribute
+    # nothing (dir may be the zero vector; sample_cubemap's axis floor
+    # keeps it finite)
+    wgt = jnp.stack([jnp.stack(outs[3 + 6 * r: 3 + 6 * r + 3], axis=-1)
+                     for r in range(n_rec)])           # [n_rec, H, W, 3]
+    dirv = jnp.stack([jnp.stack(outs[3 + 6 * r + 3: 3 + 6 * r + 6], axis=-1)
+                      for r in range(n_rec)])
+    env = jnp.sum(wgt * sky_mod.sample_cubemap(scene.cubemap, dirv), axis=0)
+    radiance = radiance + env
+
+    if cfg.use_spectral:
+        from raytracer0_tpu.ops import spectral
+        wl = spectral.sample_wavelength(
+            rng_mod.uniform(pix, pass_idx, sample_idx,
+                            rng_mod.Stream.WAVELENGTH))
+        radiance = radiance * spectral.wavelength_to_rgb(wl)
+    return radiance
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def trace_forward_env(scene, cfg: RenderConfig, ro, rd, pix, pass_idx,
+                      sample_idx):
+    """Megakernel radiance with a photographic cubemap, bit-compatible
+    with `integrator.trace` (the deferred fetches use the same
+    `sky.sample_cubemap` the XLA path uses).
+
+    Backward recomputes through the XLA wavefront integrator: the fused
+    Pallas adjoint does not model the env exports, and cubemap-scene
+    gradients were XLA-routed before this fast path existed — forward
+    speed comes from the kernel, gradient semantics stay exactly the
+    XLA path's (including d/d(cubemap texels))."""
+    return _env_forward(scene, cfg, ro, rd, pix, pass_idx, sample_idx)
+
+
+def _env_fwd(scene, cfg, ro, rd, pix, pass_idx, sample_idx):
+    out = _env_forward(scene, cfg, ro, rd, pix, pass_idx, sample_idx)
+    return out, (scene, ro, rd, pix, pass_idx, sample_idx)
+
+
+def _env_bwd(cfg, res, ct):
+    scene, ro, rd, pix, pass_idx, sample_idx = res
+    from raytracer0_tpu.render import integrator
+
+    sdf_march = None
+    if scene.num_sdfs > 0:
+        from raytracer0_tpu.ops import sdf as sdf_ops
+        sdf_march = sdf_ops.march
+
+    def f(scene, ro, rd):
+        return integrator.trace(scene, cfg, ro, rd, pix, pass_idx,
+                                sample_idx, sdf_march=sdf_march)
+
+    _, vjp = jax.vjp(f, scene, ro, rd)
+    d_scene, d_ro, d_rd = vjp(ct)
+    return d_scene, d_ro, d_rd, None, None, None
+
+
+trace_forward_env.defvjp(_env_fwd, _env_bwd)
+
+
+# ----------------------------------------------------------------------
+# Deferred image-texture forward kernel (IMAGE0-3, incl. UV spheres)
+# ----------------------------------------------------------------------
+
+def supported_imgtex(scene, cfg: RenderConfig) -> bool:
+    """Can the deferred image-texture split serve this (scene, cfg)?
+
+    Image-textured rows must be DIFF analytic meshes with color-only
+    blending (so the texel only scales throughput — no texel->direction
+    coupling through emission-as-glossiness and no emissive-texture
+    terms; raytracer.glsl:726-772, 1812, 2071-2077).  Other textured
+    rows follow the in-kernel procedural rules.  A photographic cubemap
+    would need group-tagged env records — that combination stays on the
+    XLA path."""
+    if not scene.tex_types_used:
+        return False  # texture-free: the plain megakernel path serves it
+    tts = scene.tex_types_static
+    opts = scene.opts_static
+    mts = scene.mesh_types_static
+    mats = scene.mat_types_static
+    if len(tts) != len(mts) or len(opts) != len(tts):
+        return False
+    has_img = False
+    for i, tt in enumerate(tts):
+        if tt == int(TexType.NONE) or not (opts[i][0] or opts[i][1]):
+            continue
+        if int(TexType.IMAGE0) <= tt <= int(TexType.IMAGE3):
+            has_img = True
+            if not (mts[i] in (int(MeshType.SPHERE), int(MeshType.PLANE),
+                               int(MeshType.BOX))
+                    and mats[i] == int(MatType.DIFF)
+                    and opts[i][0] and not opts[i][1]):
+                return False
+        else:
+            if tt not in _TEX_KERNEL_OK:
+                return False
+            if tt in _TEX_UV_TYPES and mts[i] == int(MeshType.SPHERE):
+                return False
+    return (
+        has_img
+        and _geometry_supported(scene, check_textures=False)
+        and not cfg.use_restir
+        and (not cfg.use_cubemap or scene.cubemap_is_procedural)
+        and cfg.use_biased_sampling
+        and int(cfg.render_mode) == int(RenderMode.STATIC)
+    )
+
+
+def _imgtex_kernel_body(meta, cfg: RenderConfig, slots, ft_ref, pp_ref,
+                        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                        pix_ref, *out_refs):
+    sv = _load_scene_vals(ft_ref, len(meta[0]))
+    pass_u = pp_ref[0, 0].astype(jnp.uint32)
+    samp_u = pp_ref[0, 1].astype(jnp.uint32)
+    tex_acc_refs = out_refs[3:3 + 3 * slots]
+    tex_refs = out_refs[3 + 3 * slots:]
+    for r in tex_acc_refs:
+        r[...] = jnp.zeros_like(r[...])
+    for r in tex_refs:
+        r[...] = jnp.zeros_like(r[...])
+    acc = _trace_block(
+        meta, cfg, sv, pix_ref[:], pass_u, samp_u,
+        (ox_ref[:], oy_ref[:], oz_ref[:]),
+        (dx_ref[:], dy_ref[:], dz_ref[:]),
+        unroll=cfg.max_bounces < cfg.megakernel_unroll_below,
+        tex_slots=slots, tex_refs=tex_refs, tex_acc_refs=tex_acc_refs)
+    out_refs[0][:] = acc[0]
+    out_refs[1][:] = acc[1]
+    out_refs[2][:] = acc[2]
+
+
+def _onehot_rows(idx, table):
+    """Per-lane row select from a tiny [n, C] f32 table as a one-hot MXU
+    contraction (the restir._row_select trick — a TPU gather costs ~ms
+    per op at 512² regardless of table size)."""
+    n = table.shape[0]
+    oh = (idx[..., None] == jnp.arange(n, dtype=idx.dtype)).astype(jnp.float32)
+    return jnp.einsum("...n,nc->...c", oh, table,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _imgtex_rho(scene, idx, pos, valid):
+    """True/placeholder color ratio for one texture-vertex record.
+
+    Recomputes the winner's normal and UV from (mesh idx, hit pos) with
+    the exact `ops/intersect.parse_hit` formulas (spherical asin/atan2
+    for spheres — raytracer.glsl:1055-1076), fetches the true texel with
+    the same differentiable bilinear the XLA path uses, and divides out
+    the kernel's 0.5-gray placeholder blend."""
+    from raytracer0_tpu.ops import textures as tex_ops
+    from raytracer0_tpu.ops import vecmath as vm
+
+    table = jnp.concatenate([
+        jnp.asarray(scene.mesh_type, jnp.float32)[:, None],   # 0
+        scene.pos,                                            # 1:4
+        scene.color,                                          # 4:7
+        scene.tex_cmask,                                      # 7:10
+        scene.opts[:, 0:1].astype(jnp.float32),               # 10
+        jnp.asarray(scene.tex_type, jnp.float32)[:, None],    # 11
+        scene.joker[:, 0:1],                                  # 12
+    ], axis=1)
+    row = _onehot_rows(idx, table)
+    mesh_t = row[..., 0]
+    center = row[..., 1:4]
+    mat_c = row[..., 4:7]
+    cm = row[..., 7:10]
+    opt0 = row[..., 10]
+    tex_t = row[..., 11]
+    size = row[..., 12]
+
+    is_sphere = mesh_t == float(MeshType.SPHERE)
+    is_plane = mesh_t == float(MeshType.PLANE)
+    n_sph = vm.normalize(pos - center)
+    n_pln = vm.normalize(center)
+    hp = pos - center
+    half = (size * 0.5)[..., None]
+    db = jnp.abs(hp) - half
+    sx = jnp.where((db[..., 0] >= db[..., 1]) & (db[..., 0] >= db[..., 2]),
+                   jnp.sign(hp[..., 0]), 0.0)
+    sy = jnp.where((db[..., 1] >= db[..., 2]) & (db[..., 1] >= db[..., 0]),
+                   jnp.sign(hp[..., 1]), 0.0)
+    sz = jnp.where((db[..., 2] >= db[..., 0]) & (db[..., 2] >= db[..., 1]),
+                   jnp.sign(hp[..., 2]), 0.0)
+    n_box = vm.normalize(jnp.stack([sx, sy, sz], axis=-1))
+    n = jnp.where(is_sphere[..., None], n_sph,
+        jnp.where(is_plane[..., None], n_pln, n_box))
+
+    # spherical UV from the *world* hit position (parse_hit)
+    rho_l = vm.safe_length(pos)
+    phi = jnp.arcsin(jnp.clip(pos[..., 1] / rho_l, -1.0 + 1e-6, 1.0 - 1e-6))
+    theta = jnp.arctan2(pos[..., 2], pos[..., 0])
+    uv_sph = jnp.stack([phi / PI, theta / (2.0 * PI)], axis=-1)
+    na = jnp.abs(n)
+    x_dom = (na[..., 0] > na[..., 1]) & (na[..., 0] > na[..., 2])
+    y_dom = (na[..., 1] > na[..., 0]) & (na[..., 1] > na[..., 2])
+    uv_x = jnp.stack([-pos[..., 2], -pos[..., 1]], axis=-1)
+    uv_y = jnp.stack([pos[..., 0], pos[..., 2]], axis=-1)
+    uv_z = jnp.stack([pos[..., 0], -pos[..., 1]], axis=-1)
+    uv = jnp.where(is_sphere[..., None], uv_sph,
+         jnp.where(x_dom[..., None], uv_x,
+         jnp.where(y_dom[..., None], uv_y, uv_z)))
+
+    present = set(scene.tex_types_static)
+    texel = jnp.zeros(uv.shape[:-1] + (4,), jnp.float32)
+    for k in range(4):
+        if int(TexType.IMAGE0) + k in present:
+            tx = tex_ops.bilinear_wrap(scene.images[k], uv)
+            texel = jnp.where((tex_t == float(int(TexType.IMAGE0) + k))
+                              [..., None], tx, texel)
+
+    bc = (opt0 * texel[..., 3])[..., None]
+    c_true = jnp.maximum(mat_c + (texel[..., :3] * cm - mat_c) * bc, 0.001)
+    c0 = jnp.maximum(mat_c + (0.5 * cm - mat_c) * opt0[..., None], 0.001)
+    return jnp.where(valid[..., None], c_true / c0, 1.0)
+
+
+def _imgtex_forward(scene, cfg: RenderConfig, ro, rd, pix, pass_idx,
+                    sample_idx):
+    h, w = pix.shape
+    assert supports_shape(h, w), (h, w)
+    slots = min(cfg.max_diff_bounces, cfg.max_bounces)
+    meta = (scene.mesh_types_static, scene.mat_types_static,
+            scene.lights_static, scene.sdf_shapes_static,
+            scene.num_analytic, scene.tex_types_static, scene.opts_static,
+            int(scene.cubemap.shape[1])
+            if scene.cubemap_is_procedural else 0)
+    ft = _scene_table(scene)
+    pp = jnp.asarray([[pass_idx, sample_idx]], jnp.int32).reshape(1, 2)
+
+    grid = (h // BLOCK_ROWS, w // BLOCK_COLS)
+    row_spec = _row_spec()
+    kernel = functools.partial(_imgtex_kernel_body, meta, cfg, slots)
+    interpret = os.environ.get("RT0_PALLAS_INTERPRET") == "1"
+    rec_shapes = ([jax.ShapeDtypeStruct((h, w), jnp.float32)] * 3
+                  + [jax.ShapeDtypeStruct((h, w), jnp.int32)]
+                  + [jax.ShapeDtypeStruct((h, w), jnp.float32)])
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # ft
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # pp
+            row_spec, row_spec, row_spec,            # o
+            row_spec, row_spec, row_spec,            # d
+            row_spec,                                # pix
+        ],
+        out_specs=[row_spec] * (3 + 3 * slots + 5 * slots),
+        out_shape=[jax.ShapeDtypeStruct((h, w), jnp.float32)] * (3 + 3 * slots)
+        + rec_shapes * slots,
+    )(ft, pp, ro[..., 0], ro[..., 1], ro[..., 2],
+      rd[..., 0], rd[..., 1], rd[..., 2], pix)
+
+    radiance = jnp.stack(outs[0:3], axis=-1)
+    prod = jnp.ones((h, w, 3), jnp.float32)
+    for g in range(1, slots + 1):
+        grp = jnp.stack(outs[3 * g: 3 * g + 3], axis=-1)
+        rb = outs[3 + 3 * slots + 5 * (g - 1): 3 + 3 * slots + 5 * g]
+        pos = jnp.stack(rb[0:3], axis=-1)
+        idx = rb[3]
+        valid = rb[4] > 0.5
+        prod = prod * _imgtex_rho(scene, idx, pos, valid)
+        radiance = radiance + prod * grp
+
+    if cfg.use_spectral:
+        from raytracer0_tpu.ops import spectral
+        wl = spectral.sample_wavelength(
+            rng_mod.uniform(pix, pass_idx, sample_idx,
+                            rng_mod.Stream.WAVELENGTH))
+        radiance = radiance * spectral.wavelength_to_rgb(wl)
+    return radiance
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def trace_forward_imgtex(scene, cfg: RenderConfig, ro, rd, pix, pass_idx,
+                         sample_idx):
+    """Megakernel radiance with deferred image textures, matching
+    `integrator.trace` on the supported class (sole deviation: the
+    luminance cutoff sees the 0.5-gray placeholder throughput — paths
+    the XLA route kills at <1% throughput may differ; see PARITY.md).
+
+    Backward recomputes through the XLA wavefront integrator (see
+    trace_forward_env) — image-texture scenes were XLA-routed before
+    this fast path existed, and texel gradients flow exactly as there."""
+    return _imgtex_forward(scene, cfg, ro, rd, pix, pass_idx, sample_idx)
+
+
+def _imgtex_fwd(scene, cfg, ro, rd, pix, pass_idx, sample_idx):
+    out = _imgtex_forward(scene, cfg, ro, rd, pix, pass_idx, sample_idx)
+    return out, (scene, ro, rd, pix, pass_idx, sample_idx)
+
+
+trace_forward_imgtex.defvjp(_imgtex_fwd, _env_bwd)

@@ -60,6 +60,39 @@ def _megakernel_ok(scene, cfg, height, width, restir_sampler):
         return False
 
 
+def _megakernel_env_ok(scene, cfg, height, width, restir_sampler):
+    """Dispatch gate for the deferred-cubemap fast path (photographic
+    cubemaps): kernel trace + XLA resolution of the exported terminal
+    cubemap fetches.  Differentiable (backward routes through the XLA
+    integrator, see megakernel.trace_forward_env)."""
+    if not cfg.use_megakernel or restir_sampler is not None:
+        return False
+    from raytracer0_tpu.ops import megakernel
+    if not (megakernel.supported_env(scene, cfg)
+            and megakernel.supports_shape(height, width)):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
+def _megakernel_imgtex_ok(scene, cfg, height, width, restir_sampler):
+    """Dispatch gate for the deferred image-texture fast path: kernel
+    trace with placeholder texels + host-side texel-ratio reconstitution
+    (megakernel.trace_forward_imgtex)."""
+    if not cfg.use_megakernel or restir_sampler is not None:
+        return False
+    from raytracer0_tpu.ops import megakernel
+    if not (megakernel.supported_imgtex(scene, cfg)
+            and megakernel.supports_shape(height, width)):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
 def _megakernel_restir_ok(scene, cfg, height, width):
     """Dispatch gate for the split ReSTIR fast path (forward-only)."""
     if not cfg.use_megakernel:
@@ -88,6 +121,12 @@ def sample_radiance(scene, cfg: RenderConfig, camera: Camera,
     if _megakernel_ok(scene, cfg, height, width, restir_sampler):
         from raytracer0_tpu.ops import megakernel
         trace_fn = lambda *a: megakernel.trace_forward(*a)
+    elif _megakernel_env_ok(scene, cfg, height, width, restir_sampler):
+        from raytracer0_tpu.ops import megakernel
+        trace_fn = lambda *a: megakernel.trace_forward_env(*a)
+    elif _megakernel_imgtex_ok(scene, cfg, height, width, restir_sampler):
+        from raytracer0_tpu.ops import megakernel
+        trace_fn = lambda *a: megakernel.trace_forward_imgtex(*a)
     else:
         trace_fn = lambda scene, cfg, ro, rd, pix, p, s: integrator.trace(
             scene, cfg, ro, rd, pix, p, s,

@@ -109,6 +109,20 @@ def test_animated_reprojection_across_shards():
     _assert_match(single, sharded)
 
 
+def test_sharded_restir_stress_many_lights():
+    """restir_stress (41 lights): the >10-light spatial halving changes
+    which Poisson taps run, so the halo exchange must stay shard-exact
+    in that regime too (VERDICT r2 next #4)."""
+    from raytracer0_tpu.models.presets import restir_stress
+
+    scene, cam, cfg = restir_stress()
+    cfg = cfg.replace(max_bounces=2, restir_samples=8, marching_steps=16)
+    H, W = 64, 16
+    single, sharded = _run_both(scene, cam, cfg, H, W, n_shards=2, frames=4)
+    _assert_match(single, sharded)
+    assert float(jnp.mean(single[1].restir_back.m)) > 0.5
+
+
 def test_min_band_guard():
     scene, cam, cfg = restir_demo()
     mesh = sharding.make_tile_mesh(8)

@@ -28,8 +28,8 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _single_process_reference():
-    """The same computation on this process's own 4-device view."""
+def _single_process_reference(n_devices=4):
+    """The same computation on this process's own n-device view."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     import jax
 
@@ -39,7 +39,7 @@ def _single_process_reference():
     scene, camera, cfg = cornell_default()
     cfg = cfg.replace(max_bounces=2, samples_per_pass=1)
     H, W = 16, 32
-    mesh = sharding.make_tile_mesh(4)
+    mesh = sharding.make_tile_mesh(n_devices)
     rng = np.random.RandomState(0)
     target_full = rng.rand(H, W, 3).astype(np.float32) * 0.1
     tgt = jax.device_put(target_full, NamedSharding(mesh, P(sharding.AXIS)))
@@ -54,7 +54,18 @@ def _single_process_reference():
 def test_two_process_distributed_matches_single_process(tmp_path):
     """slow: two concurrent CPU compiles of the sharded step (~2-3 min
     on this container's 2 cores)."""
-    nproc = 2
+    _run_multihost(tmp_path, nproc=2)
+
+
+@pytest.mark.slow
+def test_four_process_distributed_matches_single_process(tmp_path):
+    """4 processes x 2 devices = an 8-shard global mesh (VERDICT r2 next
+    #10): catches process-count assumptions in the mesh/allgather code
+    (2 is a degenerate ring).  slow: four concurrent CPU compiles."""
+    _run_multihost(tmp_path, nproc=4)
+
+
+def _run_multihost(tmp_path, nproc):
     port = _free_port()
     coord = f"127.0.0.1:{port}"
 
@@ -83,16 +94,17 @@ def test_two_process_distributed_matches_single_process(tmp_path):
     results = [json.load(open(o)) for o in outs]
     for pid, r in enumerate(results):
         assert r["process_count"] == nproc
-        assert r["global_devices"] == 4
+        assert r["global_devices"] == 2 * nproc
         assert r["img_shape"] == [16, 32, 3]
-    # both hosts computed (and psum-agreed on) identical results
-    assert results[0]["loss"] == results[1]["loss"]
-    assert results[0]["g_emission"] == results[1]["g_emission"]
-    assert results[0]["img_sum"] == results[1]["img_sum"]
+    # all hosts computed (and psum-agreed on) identical results
+    for r in results[1:]:
+        assert results[0]["loss"] == r["loss"]
+        assert results[0]["g_emission"] == r["g_emission"]
+        assert results[0]["img_sum"] == r["img_sum"]
 
-    # and they equal the single-process 4-device run bit-for-bit
-    # (same mesh shape, same RNG streams, same reduction layout)
-    ref_loss, ref_g, ref_img_sum = _single_process_reference()
+    # and they equal the single-process run on the same global mesh
+    # bit-for-bit (same mesh shape, same RNG streams, same reductions)
+    ref_loss, ref_g, ref_img_sum = _single_process_reference(2 * nproc)
     assert np.isclose(results[0]["loss"], ref_loss, rtol=1e-6)
     np.testing.assert_allclose(
         np.asarray(results[0]["g_emission"]), ref_g, rtol=1e-6)

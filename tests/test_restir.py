@@ -245,6 +245,70 @@ def test_cast_rays_matches_intersect_interpret():
     assert (ok | rmiss | ~agree).all()
 
 
+def test_restir_stress_many_lights():
+    """Preset 6 (restir_stress, index.html:965-1014): 41 ceiling lights —
+    the regime where the >10-light spatial-tap halving and the M-caps
+    actually engage (VERDICT r2 next #4).  Asserts the render is finite,
+    reservoir invariants hold at scale, and the selected-light set is
+    genuinely diverse (ReSTIR's whole point at many lights)."""
+    from raytracer0_tpu.models.presets import restir_stress
+
+    scene, cam, cfg = restir_stress()
+    assert scene.num_lights == 41  # 5x5 grid + 4x4 grid
+    cfg = cfg.replace(max_bounces=2, marching_steps=16)
+    # candidate clamp: min(RESTIR_SAMPLES=16, max(4, 41)) = 16
+    assert min(cfg.restir_samples, max(4, scene.num_lights)) == 16
+    H = W = 32
+
+    r = Renderer(scene, cam, cfg, H, W)
+    for _ in range(12):   # past the pass>=10 full-spatial-tap warmup
+        r.step()
+    img = np.asarray(r.state.accum) / 12
+    res = r.state.restir_back
+    assert np.isfinite(img).all() and img.mean() > 1e-4
+    m = np.asarray(res.m)
+    w = np.asarray(res.w)
+    ws = np.asarray(res.weight_sum)
+    assert np.isfinite(m).all() and np.isfinite(w).all() and np.isfinite(ws).all()
+    # M-cap invariants: combine caps at 40, post-temporal clamp at 80/100
+    assert m.max() <= 100.0 + 1e-4, m.max()
+    assert w.max() <= 12.0 + 1e-5
+    li = np.asarray(res.light_index)
+    picked = li[li >= 0]
+    assert picked.size > H * W // 4
+    assert (picked < 41).all()
+    # diversity: many distinct lights selected across the image
+    assert len(np.unique(picked)) >= 15, len(np.unique(picked))
+
+
+def test_fast_path_matches_wavefront_default_tier():
+    """Small default-tier twin of test_fast_path_matches_wavefront
+    (VERDICT r2 next #7): one 8x128 pass, 2 bounces, interpret mode —
+    catches drift in the G-buffer split or its depth-keyed RNG plumbing
+    without waiting for the slow tier."""
+    import os
+
+    scene, cam, cfg = restir_demo()
+    cfg = cfg.replace(max_bounces=2, samples_per_pass=1, max_diff_bounces=2,
+                      restir_samples=4, marching_steps=16)
+    H, W = 8, 128
+
+    def run(fn):
+        st = RenderState.create(H, W)
+        rad, _ = fn(scene, cfg, cam, st, H, W, 0)
+        return np.asarray(rad)
+
+    ref = run(restir.render_sample)
+    os.environ["RT0_PALLAS_INTERPRET"] = "1"
+    try:
+        fast = run(restir.render_sample_fast)
+    finally:
+        del os.environ["RT0_PALLAS_INTERPRET"]
+    err = np.abs(ref - fast)
+    assert err.max() < 5e-3, err.max()
+    assert np.median(err) < 1e-6
+
+
 @pytest.mark.slow
 def test_fast_path_matches_wavefront():
     """render_sample_fast (G-buffer megakernel + XLA reservoir phases +
@@ -280,3 +344,72 @@ def test_fast_path_matches_wavefront():
         err = np.abs(a - b)
         assert err.max() < 5e-3, err.max()
         assert np.median(err) < 1e-6
+
+
+def test_candidates_only_matches_mean_light_nee():
+    """Converged quantitative check of the RIS estimator (VERDICT r2 next
+    #8, replacing the loose 1/9..2 band): with temporal+spatial ablated,
+    the reference's RIS weights omit the 1/L uniform-candidate pdf
+    (raytracer.glsl:1652 — weight = p̂, not L·p̂), so candidates-only
+    ReSTIR estimates the *mean* per-light contribution.  On a scene
+    built so p̂ ∝ the shading contribution (identical gray lights, same
+    radius, diffuse-only), a converged render must sit at NEE/L within
+    ±15%."""
+    import os
+
+    from raytracer0_tpu.models.camera import Camera
+    from raytracer0_tpu.models.dsl import parse_scene
+
+    L = 9
+    lights = "\n".join(
+        f"MAT_LIGHT_4, SPHERE, vec3({x}, 1.7, {z}), vec4(0.05)"
+        for x in (-0.8, 0.0, 0.8) for z in (-0.8, 0.0, 0.8))
+    text = """
+        MAT_WHITE, PLANE, vec3(0.0, 1.0, 0.0), vec4(2.0)
+        MAT_WHITE, PLANE, vec3(0.0, -1.0, 0.0), vec4(2.0)
+        MAT_GREEN, PLANE, vec3(1.0, 0.0, 0.0), vec4(2.0)
+        MAT_RED, PLANE, vec3(-1.0, 0.0, 0.0), vec4(2.0)
+        MAT_WHITE, PLANE, vec3(0.0, 0.0, 1.0), vec4(2.0)
+        MAT_WHITE, PLANE, vec3(0.0, 0.0, -1.0), vec4(2.0)
+    """ + lights
+    scene = parse_scene(text)
+    assert scene.num_lights == L
+    cam = Camera.make(origin=(0.0, 0.0, 1.9), lookat=(0.0, -0.2, -1.0),
+                      fov=60.0)
+    from raytracer0_tpu.models.presets import _cfg
+    # use_mis=False: with MIS the NEE side down-weights by the power
+    # heuristic while ReSTIR shading (faithfully) does not — without it
+    # both sides estimate the same direct integral.
+    cfg = _cfg(use_restir=True, use_procedural_sky=False, max_bounces=2,
+               restir_samples=16, marching_steps=16, use_mis=False)
+    H = W = 16
+    PASSES = 48
+
+    os.environ["RT0_RESTIR_ABLATE"] = "temporal,spatial"
+    try:
+        r = Renderer(scene, cam, cfg, H, W)
+        for _ in range(PASSES):
+            r.step()
+        img_restir = np.asarray(r.state.accum) / PASSES
+    finally:
+        del os.environ["RT0_RESTIR_ABLATE"]
+
+    r2 = Renderer(scene, cam, cfg.replace(use_restir=False), H, W)
+    for _ in range(PASSES):
+        r2.step()
+    img_nee = np.asarray(r2.state.accum) / PASSES
+
+    # Both images carry an identical non-NEE part (emissive spheres seen
+    # directly / via bounces) that the 1/L scaling does not apply to —
+    # measure and subtract it (sample_lights=False renders exactly that).
+    r3 = Renderer(scene, cam,
+                  cfg.replace(use_restir=False, sample_lights=False), H, W)
+    for _ in range(PASSES):
+        r3.step()
+    img_e = np.asarray(r3.state.accum) / PASSES
+
+    direct_restir = img_restir.mean() - img_e.mean()
+    direct_nee = img_nee.mean() - img_e.mean()
+    assert direct_nee > 1e-4
+    ratio = direct_restir / (direct_nee / L)
+    assert 0.85 < ratio < 1.15, ratio

@@ -183,6 +183,30 @@ def cmd_presets(args):
         print(name)
 
 
+def cmd_fit(args):
+    """Inverse rendering demo: perturb the light emission, recover it by
+    gradient descent against the unperturbed render (optimize.fit)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from raytracer0_tpu import optimize
+
+    scene, camera, cfg = _build(args)
+    cfg = cfg.replace(max_bounces=min(cfg.max_bounces, 3))
+    h = w = min(args.size, 48)
+    target = optimize.render_linear(scene, cfg, camera, h, w, passes=2)
+
+    is_light = np.asarray(scene.mat_type) == 0
+    mask = jnp.asarray(is_light[:, None].astype(np.float32))
+    start = scene.replace(emission=scene.emission * (1.0 + args.perturb * mask))
+    fitted, losses = optimize.fit(
+        start, cfg, camera, target, ("emission",), steps=args.steps,
+        learning_rate=args.lr, passes=2, param_mask={"emission": mask})
+    err = float(np.abs(np.asarray(fitted.emission - scene.emission)).max())
+    print(json.dumps({"loss_first": losses[0], "loss_last": losses[-1],
+                      "max_abs_param_err": round(err, 5),
+                      "steps": args.steps}))
+
+
 def main(argv=None):
     import os
     import jax
@@ -241,6 +265,13 @@ def main(argv=None):
 
     pr = sub.add_parser("presets")
     pr.set_defaults(fn=cmd_presets)
+
+    f = sub.add_parser("fit")
+    common(f)
+    f.add_argument("--steps", type=int, default=40)
+    f.add_argument("--lr", type=float, default=0.08)
+    f.add_argument("--perturb", type=float, default=0.5)
+    f.set_defaults(fn=cmd_fit)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -1,0 +1,96 @@
+"""Inverse rendering: gradient-based scene-parameter optimization.
+
+The north-star capability on top of the differentiable renderer
+(BASELINE.json: parameter gradients for light intensity / albedo /
+geometry, all-reduced across chips): fit selected scene parameters so the
+render matches a target image.  The reference (a WebGL forward renderer)
+has no analogue — this is the TPU framework's reason to differentiate at
+all.
+
+Design: a parameter pytree of *selected* leaves (masked updates keep
+non-optimized rows frozen), L2 image loss on the linear-radiance
+accumulator over a fixed pass budget (fixed RNG => the loss is
+deterministic and its gradient exact for the realized estimator), optax
+optimizer, jit-compiled update step.  Multi-chip: pair with
+`parallel.sharding.make_train_step`, which psums the same gradients over
+the mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping
+
+import jax
+import jax.numpy as jnp
+
+
+def render_linear(scene, cfg, camera, height, width, passes=1):
+    """Mean linear radiance over `passes` fixed-RNG passes (the
+    accumulator the display pass divides; tonemapping is excluded from
+    the loss so gradients see linear light)."""
+    from raytracer0_tpu.render.renderer import sample_radiance
+
+    total = jnp.zeros((height, width, 3), jnp.float32)
+    for p in range(passes):
+        total = total + sample_radiance(scene, cfg, camera, height, width,
+                                        jnp.uint32(p))
+    return total / passes
+
+
+def make_loss(cfg, camera, target, param_names, height, width, passes=1):
+    """L2 loss over the selected scene leaves.
+
+    `param_names`: iterable of Scene field names (e.g. ("emission",
+    "color", "pos", "joker")) — the optimized pytree is a dict of those
+    leaves; everything else stays at the closure scene's values.
+    """
+    names = tuple(param_names)
+
+    def loss_fn(params: Mapping[str, Any], scene):
+        s = scene.replace(**dict(params))
+        img = render_linear(s, cfg, camera, height, width, passes)
+        return jnp.mean((img - target) ** 2)
+
+    return names, loss_fn
+
+
+def fit(scene, cfg, camera, target, param_names, *, steps=100,
+        learning_rate=2e-2, height=None, width=None, passes=1,
+        optimizer=None, param_mask=None, callback=None):
+    """Fit `param_names` of `scene` to a target image.
+
+    Returns (optimized scene, losses list).  `param_mask`, when given,
+    maps name -> 0/1 array broadcastable to that leaf (e.g. optimize only
+    the light rows' emission).  `optimizer` defaults to optax.adam.
+    """
+    import optax
+
+    height = height or target.shape[0]
+    width = width or target.shape[1]
+    names, loss_fn = make_loss(cfg, camera, target, param_names,
+                               height, width, passes)
+    params = {n: getattr(scene, n) for n in names}
+    mask = {n: (param_mask or {}).get(n, 1.0) for n in names}
+
+    opt = optimizer or optax.adam(learning_rate)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(params, scene)
+        grads = {n: grads[n] * mask[n] for n in names}
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        # physical floors: radiance/albedo never negative
+        for n in ("emission", "color"):
+            if n in params:
+                params[n] = jnp.maximum(params[n], 0.0)
+        return params, opt_state, loss
+
+    losses = []
+    for i in range(steps):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+        if callback is not None:
+            callback(i, losses[-1], params)
+    return scene.replace(**params), losses

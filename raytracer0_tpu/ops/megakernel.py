@@ -1042,12 +1042,21 @@ def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
     XLA bilinear gathers afterward.  Exact parity with the XLA wavefront
     path, no in-kernel texture memory at all.
 
-    Slot records (G-buffer and env) are written *directly to the output
-    refs* (`gbuf_refs`/`env_refs`) as masked read-modify-writes instead
-    of being carried through the bounce loop: carrying 12 x slots block
-    arrays through the rolled while_loop cost ~10 ms/slot at 512² on
-    v5e (register pressure/spills — measured 44 ms at 4 slots vs 12.7 ms
-    at 1), while VMEM-resident ref updates are bandwidth-trivial.
+    Slot records (G-buffer and env) are written to the output refs as
+    pl.when-gated masked stores.  Measured on v5e at 512² (experiments/
+    README.md): the export costs ~8.4 ms/slot/pass *however it is
+    expressed* — where-RMW ref updates, masked stores, pl.when-gated
+    stores, loop-carried values, and a fully unrolled loop all land
+    within noise, and a packed single-store layout is worse — because
+    Pallas discharges in-loop ref writes into while_loop state and the
+    per-iteration cost scales with that state.  The ~40 ms restir_demo
+    G-buffer trace is therefore a Mosaic loop-state floor, not a store-
+    instruction count; the XLA reservoir phases add only ~9 ms on top.
+    Known next lever (unimplemented): shrink the record to 7 fields —
+    pos(3) + mask(3) + sign-encoded idx*inside(1) — recomputing nl in
+    XLA from (idx, pos) and rekeying the per-vertex ReSTIR streams on
+    the diffuse ordinal instead of bounce depth; the floor scales with
+    state bytes, so ~7/12 of the export cost.
 
     `tex_slots > 0` runs the *deferred image-texture* split (VERDICT r2
     next #3, getTexel's IMAGE0-3 branch, raytracer.glsl:726-772): image
@@ -1568,18 +1577,32 @@ def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
         if restir_slots:
             # ---- G-buffer export instead of in-kernel NEE: the k-th
             # diffuse vertex of each lane records its shading inputs for
-            # the host-side reservoir pipeline (ReSTIR split) ----
+            # the host-side reservoir pipeline (ReSTIR split).
+            # ONE masked store of the packed [12*slots, R, C] record per
+            # bounce: masked VMEM stores cost ~200 cycles *per
+            # instruction* on v5e regardless of width (measured: 48
+            # separate field stores = 8.4 ms/slot/pass at 512²; carrying
+            # the records through the rolled loop costs the same — Pallas
+            # discharges in-loop ref writes into loop state), so the only
+            # winning layout is minimum store count. ----
+            ones_f = jnp.ones_like(hit_pos[0])
+            depth_f = jnp.full_like(ones_f,
+                                    depth_u.astype(jnp.int32)
+                                    if hasattr(depth_u, "astype")
+                                    else int(depth_u))
             for k in range(restir_slots):
                 sel = diffuse_lane & (ndif == k)
-                base = 12 * k
                 vals = (hit_pos[0], hit_pos[1], hit_pos[2],
                         nl[0], nl[1], nl[2],
                         mask_after[0], mask_after[1], mask_after[2],
-                        idx, depth_u.astype(jnp.int32),
-                        jnp.ones_like(hit_pos[0]))
-                for j, v in enumerate(vals):
-                    r = gbuf_refs[base + j]
-                    r[...] = jnp.where(sel, v, r[...])
+                        idx.astype(jnp.float32), depth_f, ones_f)
+
+                # a lane writes slot k during exactly one bounce, so most
+                # (slot, bounce) pairs write nothing — skip them wholesale
+                @pl.when(jnp.any(sel))
+                def _(k=k, sel=sel, vals=vals):
+                    for j, v in enumerate(vals):
+                        pltpu.store(gbuf_refs[12 * k + j], v, mask=sel)
         elif cfg.sample_lights and any(li >= 0 for li in lights):
             # ---- NEE ----
             nee = shade_nee(hit_pos, nl, depth_u)
@@ -1930,14 +1953,10 @@ def _gbuf_kernel_body(meta, cfg: RenderConfig, slots, ft_ref, pp_ref,
     pass_u = pp_ref[0, 0].astype(jnp.uint32)
     samp_u = pp_ref[0, 1].astype(jnp.uint32)
     gbuf_refs = out_refs[3:]
-    # initialize the slot records (the bounce loop read-modify-writes them)
-    for k in range(slots):
-        for j in range(12):
-            r = gbuf_refs[12 * k + j]
-            if j == 10:  # depth
-                r[...] = jnp.full_like(r[...], -1)
-            else:
-                r[...] = jnp.zeros_like(r[...])
+    # initialize the slot records (all f32; idx/depth decoded by the
+    # wrapper — depth starts at -1)
+    for n, r in enumerate(gbuf_refs):
+        r[...] = jnp.full_like(r[...], -1.0 if n % 12 == 10 else 0.0)
     acc = _trace_block(
         meta, cfg, sv, pix_ref[:], pass_u, samp_u,
         (ox_ref[:], oy_ref[:], oz_ref[:]),
@@ -1950,7 +1969,7 @@ def _gbuf_kernel_body(meta, cfg: RenderConfig, slots, ft_ref, pp_ref,
 
 
 def trace_forward_gbuffer(scene, cfg: RenderConfig, ro, rd, pix,
-                          pass_idx, sample_idx):
+                          pass_idx, sample_idx, slots_override=None):
     """Path-trace radiance *minus diffuse-bounce NEE*, plus the per-
     diffuse-vertex G-buffer for the host-side reservoir pipeline.
 
@@ -1968,7 +1987,7 @@ def trace_forward_gbuffer(scene, cfg: RenderConfig, ro, rd, pix,
     """
     h, w = pix.shape
     assert supports_shape(h, w), (h, w)
-    slots = min(cfg.max_diff_bounces, cfg.max_bounces)
+    slots = slots_override or min(cfg.max_diff_bounces, cfg.max_bounces)
     meta = (scene.mesh_types_static, scene.mat_types_static,
             scene.lights_static, scene.sdf_shapes_static,
             scene.num_analytic, scene.tex_types_static, scene.opts_static,
@@ -1982,9 +2001,10 @@ def trace_forward_gbuffer(scene, cfg: RenderConfig, ro, rd, pix,
     kernel = functools.partial(_gbuf_kernel_body, meta, cfg, slots)
     interpret = os.environ.get("RT0_PALLAS_INTERPRET") == "1"
 
-    slot_shapes = ([jax.ShapeDtypeStruct((h, w), jnp.float32)] * 9
-                   + [jax.ShapeDtypeStruct((h, w), jnp.int32)] * 2
-                   + [jax.ShapeDtypeStruct((h, w), jnp.float32)])
+    # 12 f32 record fields per slot (idx/depth are small exact ints
+    # through the f32 roundtrip); per-(slot,bounce) stores are pl.when-
+    # gated in the kernel — a lane writes its slot k during exactly one
+    # bounce, so most pairs skip entirely
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1997,8 +2017,8 @@ def trace_forward_gbuffer(scene, cfg: RenderConfig, ro, rd, pix,
             row_spec,                                # pix
         ],
         out_specs=[row_spec] * (3 + 12 * slots),
-        out_shape=[jax.ShapeDtypeStruct((h, w), jnp.float32)] * 3
-        + slot_shapes * slots,
+        out_shape=[jax.ShapeDtypeStruct((h, w), jnp.float32)]
+        * (3 + 12 * slots),
     )(ft, pp, ro[..., 0], ro[..., 1], ro[..., 2],
       rd[..., 0], rd[..., 1], rd[..., 2], pix)
 
@@ -2017,7 +2037,8 @@ def trace_forward_gbuffer(scene, cfg: RenderConfig, ro, rd, pix,
             pos=jnp.stack(b[0:3], axis=-1),
             nl=jnp.stack(b[3:6], axis=-1),
             mask=jnp.stack(b[6:9], axis=-1),
-            idx=b[9], depth=b[10], valid=b[11] > 0.5,
+            idx=b[9].astype(jnp.int32), depth=b[10].astype(jnp.int32),
+            valid=b[11] > 0.5,
         ))
     return radiance, gbuf
 
@@ -2399,14 +2420,21 @@ def _imgtex_forward(scene, cfg: RenderConfig, ro, rd, pix, pass_idx,
       rd[..., 0], rd[..., 1], rd[..., 2], pix)
 
     radiance = jnp.stack(outs[0:3], axis=-1)
+    # resolve ALL records' texel ratios in one batched _imgtex_rho call
+    # (stacked [slots, H, W]): TPU gathers cost ~1 element/cycle, so 4
+    # separate bilinear fetches were 4x the gather ops of one batched one
+    pos_all = jnp.stack([
+        jnp.stack(outs[3 + 3 * slots + 5 * g: 3 + 3 * slots + 5 * g + 3],
+                  axis=-1) for g in range(slots)])
+    idx_all = jnp.stack([outs[3 + 3 * slots + 5 * g + 3]
+                         for g in range(slots)])
+    valid_all = jnp.stack([outs[3 + 3 * slots + 5 * g + 4]
+                           for g in range(slots)]) > 0.5
+    rho_all = _imgtex_rho(scene, idx_all, pos_all, valid_all)
     prod = jnp.ones((h, w, 3), jnp.float32)
     for g in range(1, slots + 1):
         grp = jnp.stack(outs[3 * g: 3 * g + 3], axis=-1)
-        rb = outs[3 + 3 * slots + 5 * (g - 1): 3 + 3 * slots + 5 * g]
-        pos = jnp.stack(rb[0:3], axis=-1)
-        idx = rb[3]
-        valid = rb[4] > 0.5
-        prod = prod * _imgtex_rho(scene, idx, pos, valid)
+        prod = prod * rho_all[g - 1]
         radiance = radiance + prod * grp
 
     if cfg.use_spectral:

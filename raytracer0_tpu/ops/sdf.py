@@ -314,12 +314,57 @@ def calc_normal(scene, p, eps):
     return vm.normalize(n)
 
 
+def _bound_radius(scene, k):
+    """Conservative bounding-sphere radius of SDF entry `k` around its
+    center, or None when no cheap bound exists (mirrors the megakernel's
+    `_sdf_bound_radius`; rotation-invariant, bob pre-animated into pos)."""
+    from raytracer0_tpu.models.materials import SdfShape
+
+    s = int(scene.sdf_shapes_static[k])
+    jk = scene.joker[scene.num_analytic + k]
+    norm3 = jnp.sqrt(jk[0] * jk[0] + jk[1] * jk[1] + jk[2] * jk[2])
+    if s in (int(SdfShape.BOX), int(SdfShape.MENGER_SPONGE)):
+        return norm3 * 1.05 + 0.05
+    if s == int(SdfShape.ROUND_BOX):
+        return norm3 * 1.05 + jnp.abs(jk[3]) + 0.05
+    if s == int(SdfShape.SPHERE):
+        return jnp.abs(jk[0]) + 0.05
+    if s == int(SdfShape.SNOWBALL):
+        return jnp.abs(jk[0]) + 0.15
+    if s == int(SdfShape.MANDELBULB):
+        return jnp.asarray(2.5, jnp.float32)
+    if s == int(SdfShape.ELLIPSOID):
+        return jnp.abs(jk[0]) + jnp.abs(jk[1]) + jnp.abs(jk[2]) + 0.05
+    return None
+
+
 def _march_loop(scene, ro, rd, tmin, cfg):
     """Raw sphere trace (raytracer.glsl:974-993): not differentiated —
     `march` reattaches gradients implicitly."""
     t0 = jnp.full(ro.shape[:-1], cfg.epsilon * 4.0, jnp.float32)
     d0, i0 = scene_map(scene, ro + rd * t0[..., None])
     done0 = jnp.abs(d0) < cfg.epsilon
+
+    # Bounding-sphere gate (bit-exact, same argument as the megakernel's
+    # sdf_march): a lane whose ray cannot enter any entry's conservative
+    # bound within [0, tmin] can never converge to |dist| < eps there —
+    # mark it done at entry and force it invalid.
+    bounds = [_bound_radius(scene, k) for k in range(scene.num_sdfs)]
+    if bounds and all(b is not None for b in bounds):
+        can_hit = jnp.zeros_like(done0)
+        for k, rb in enumerate(bounds):
+            pos = scene.pos[scene.num_analytic + k]
+            oc = ro - pos
+            b = vm.vdot(oc, rd)
+            cq = vm.vdot(oc, oc) - rb * rb
+            disc = b * b - cq
+            sq = vm.safe_sqrt(disc)
+            can_hit = can_hit | ((disc > 0.0) & (-b + sq > 0.0)
+                                 & (-b - sq < tmin))
+        bound_miss = ~can_hit
+        done0 = done0 | bound_miss
+    else:
+        bound_miss = None
 
     def cond(state):
         step, t, res_i, done = state
@@ -339,6 +384,8 @@ def _march_loop(scene, ro, rd, tmin, cfg):
     # Final evaluation at the settled t (the reference's post-loop state).
     dist, res_i = scene_map(scene, ro + rd * t[..., None])
     valid = t <= tmin
+    if bound_miss is not None:
+        valid = valid & ~bound_miss
     return t, res_i, valid
 
 

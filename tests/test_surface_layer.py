@@ -93,3 +93,27 @@ def test_cli_render_and_presets(tmp_path):
     assert os.path.exists(png)
     report = json.loads(out.stderr.strip().splitlines()[-1])
     assert report["passes"] == 2 and report["rays_per_s"] > 0
+
+
+def test_all_presets_build():
+    """Every registered preset builds a structurally sound (scene, camera,
+    config) triple: finite scene arrays, consistent static metadata, the
+    cubemap/sky exclusion respected, and lights detected where expected."""
+    import numpy as np
+    from raytracer0_tpu.models.presets import PRESETS
+
+    for name, fn in PRESETS.items():
+        scene, cam, cfg = fn()
+        n = scene.pos.shape[0]
+        assert scene.color.shape == (n, 3), name
+        assert len(scene.mesh_types_static) == n, name
+        assert scene.num_analytic + scene.num_sdfs == n, name
+        for arr in (scene.pos, scene.joker, scene.color, scene.emission):
+            assert np.isfinite(np.asarray(arr)).all(), name
+        assert not (cfg.use_cubemap and cfg.use_procedural_sky), name
+        if "restir" in name:
+            assert cfg.use_restir and scene.num_lights > 0, name
+        if name == "cubemap_demo":
+            assert cfg.use_cubemap and not scene.cubemap_is_procedural, name
+        if name == "textured_cornell":
+            assert scene.tex_types_used, name

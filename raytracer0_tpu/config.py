@@ -61,6 +61,15 @@ class RenderConfig:
     use_restir: bool = False
     light_path_length: int = 2
     restir_samples: int = 16
+    # Temporal-reuse reprojection.  The reference offsets the history
+    # lookup by an ad-hoc camera-relative "motion vector" plus jitter
+    # (raytracer.glsl:1486-1496 — its own comment admits the camera term
+    # is a placeholder; the camera is static during accumulation, every
+    # move clears the buffers, index.html:475-482).  Default False reads
+    # the pixel's own history (exact for a static camera, and what the
+    # fused TPU kernel implements); True reproduces the reference's
+    # ad-hoc offset on the XLA path.
+    restir_adhoc_motion: bool = False
 
     # ---- accumulation mode (index.js:34) ----
     render_mode: RenderMode = RenderMode.STATIC

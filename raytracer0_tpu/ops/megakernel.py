@@ -1022,10 +1022,371 @@ def _geometry(meta, cfg: RenderConfig, sv):
         lane_mask=lane_mask, sphere_light_pdf=sphere_light_pdf)
 
 
+# Packed fused-ReSTIR reservoir channel order (weight_sum, M, W, age,
+# light_index-as-f32) — the full `Reservoirs` pytree minus light_pos /
+# light_color, which are pure functions of light_index (+ the frame's
+# scene): candidate generation stores the light *center* from the slot
+# table (ops/restir.py:419-426), temporal/spatial merges only move
+# stored values between reservoirs, and animated mode re-derives them
+# from the index anyway (raytracer.glsl:1669-1676) — so 6 of the 11
+# packed f32 channels are redundant and the kernel exports only these 5.
+_RES_CH = 5
+_RES_WS, _RES_M, _RES_W, _RES_AGE, _RES_IDX = range(_RES_CH)
+
+
+def _build_restir_vertex(meta, cfg: RenderConfig, sv, g, pix, pass_u,
+                         samp_u, height, width, taps_ref, hist_ref):
+    """In-kernel ReSTIR: the full per-vertex reservoir pipeline
+    (candidate generation → temporal reuse → spatial reuse → finalize +
+    shade, raytracer.glsl:1619-1801) fused into the bounce loop,
+    mirroring `ops/restir.reservoir_direct` op-for-op.
+
+    This replaces the G-buffer split (trace_forward_gbuffer + XLA
+    phases + cast_rays), whose per-slot record export hit a measured
+    ~8.4 ms/slot Mosaic loop-state floor (experiments/README.md,
+    exp_slot_scaling) — 48 exported channels at 4 diffuse slots.  Here
+    the loop carries only the 5-channel winner reservoir (_RES_CH) and
+    the shading happens where the data already is:
+
+      * spatial taps: the previous frame's packed reservoir grid is
+        pre-rolled in XLA by the 8 static Poisson offsets
+        (restir.POISSON_DISK × SPATIAL_RADIUS) into an aligned
+        [8, 5, H, W] input — each tap is a plain block read, the in-VMEM
+        analogue of the XLA path's proven static-roll taps;
+      * temporal taps: identity reprojection (cfg.restir_adhoc_motion =
+        False — the kernel's required mode) reads the [2, 5, H, W]
+        history input at the pixel itself;
+      * light pos/color/validity are derived from the reservoir's light
+        index via arithmetic selects over the per-slot SMEM scalars —
+        the target function is precomputed per light slot once per
+        vertex and every phase selects from it;
+      * visibility + shading shadow rays use the kernel's own
+        `intersect` (the fused twin of cast_rays).
+
+    RNG streams key on (pixel, pass, sample, bounce depth, phase)
+    exactly like the XLA path, so results agree per-pixel up to f32
+    reassociation at shadow-threshold edges (same contract as the
+    gbuffer split it replaces).
+    """
+    from raytracer0_tpu.ops.restir import (
+        POISSON_DISK, SPATIAL_RADIUS, MAX_RESERVOIR_AGE,
+        MAX_TEMPORAL_SAMPLES, TEMPORAL_ALPHA, RESTIR_SPATIAL_SAMPLES)
+
+    (mesh_types, mat_types, lights, sdf_shapes, n_analytic,
+     tex_types, opts_ce, pc_size) = meta
+    L = len(lights)
+    eps = cfg.epsilon
+    animated = int(cfg.render_mode) == 1
+    intersect = g.intersect
+    lane_mask = g.lane_mask
+    select_mesh_params = g.select_mesh_params
+    mesh_p = g.mesh_p
+
+    # Per-light-slot traced scalars (the XLA light_tab, restir.py:418-426).
+    slot_pos, slot_col, slot_j0, slot_live = [], [], [], []
+    for li in lights:
+        i = max(li, 0)
+        slot_pos.append(mesh_p(i))
+        slot_col.append((sv[i][_C_CR] * sv[i][_C_ER],
+                         sv[i][_C_CG] * sv[i][_C_EG],
+                         sv[i][_C_CB] * sv[i][_C_EB]))
+        slot_j0.append(sv[i][_C_J0])
+        slot_live.append(li >= 0)  # static
+
+    # per-slot stored-value checks of is_valid_reservoir (restir.py:163-167):
+    # lc2 on the stored color == derived color, lp2 on the stored position
+    slot_lc2 = [_dot(c, c) for c in slot_col]
+    slot_lp2 = [_dot(p, p) for p in slot_pos]
+
+    n_spatial = RESTIR_SPATIAL_SAMPLES
+    if L > 10:
+        n_spatial = max(4, n_spatial // 2)
+    tap_offsets = [(int(round(dy * SPATIAL_RADIUS)),
+                    int(round(dx * SPATIAL_RADIUS)))
+                   for dx, dy in POISSON_DISK]
+
+    frame_ok = pass_u > np.uint32(MAX_TEMPORAL_SAMPLES)
+    few_frames = pass_u < np.uint32(10)
+    age_thr = 2.0 if animated else MAX_RESERVOIR_AGE * 0.8
+
+    # global pixel coordinates of this block (full-grid render only)
+    bi = pl.program_id(0)
+    bj = pl.program_id(1)
+    rows = (bi * BLOCK_ROWS
+            + jax.lax.broadcasted_iota(jnp.int32,
+                                       (BLOCK_ROWS, BLOCK_COLS), 0))
+    cols = (bj * BLOCK_COLS
+            + jax.lax.broadcasted_iota(jnp.int32,
+                                       (BLOCK_ROWS, BLOCK_COLS), 1))
+
+    def _finite(v):
+        return jnp.abs(v) < jnp.float32(np.inf)
+
+    def _sel(idx_lane, values, init=0.0):
+        """Chained select of a per-slot traced scalar by the per-lane
+        slot index; exactly the value the XLA one-hot row-select picks
+        (restir._row_select), `init` for out-of-range (-1)."""
+        out = jnp.full_like(idx_lane, init, jnp.float32)
+        for l, v in enumerate(values):
+            out = jnp.where(idx_lane == l, v, out)
+        return out
+
+    def _sel_bool(idx_lane, values):
+        out = jnp.zeros_like(idx_lane, bool)
+        for l, v in enumerate(values):
+            out = jnp.where(idx_lane == l, v, out)
+        return out
+
+    def _sel3(idx_lane, triples):
+        return tuple(_sel(idx_lane, [t[k] for t in triples])
+                     for k in range(3))
+
+    def _validity(h_ws, h_m, h_w, h_age, h_idx):
+        """is_valid_reservoir (restir.py:153-168) on the packed record;
+        stored-color/pos checks act on the slot-derived values (equal to
+        the stored ones — see _RES_CH note)."""
+        ok = (_finite(h_m) & _finite(h_ws) & _finite(h_w) & _finite(h_age))
+        ok &= (h_m > 0.0) & (h_m <= 200.0)
+        ok &= (h_ws > 0.0) & (h_ws <= 1000.0)
+        ok &= (h_w >= 0.0) & (h_w <= 20.0)
+        ok &= (h_age >= 0.0) & (h_age <= MAX_RESERVOIR_AGE + 5.0)
+        lc2 = _sel(h_idx, slot_lc2)          # 0.0 when idx == -1
+        ok &= (lc2 >= 1e-6) & (lc2 <= 1e4)
+        ok &= h_idx < L
+        lp2 = _sel(h_idx, slot_lp2)
+        ok &= ~((lp2 < 1e-6) & (h_idx >= 0))
+        return ok
+
+    def vertex(x, nl, idx, depth_u):
+        """One diffuse vertex: returns (direct light rgb *excluding*
+        the throughput mask, (ws, m, w, age, idx) reservoir)."""
+        zeros = jnp.zeros_like(x[0])
+
+        # shading-point material for the target function — raw scene
+        # color / |ior| / type, NOT the textured-clamped shading color
+        # (restir.py:405-412)
+        _, _, w_c, _, w_nt = select_mesh_params(idx)
+        surface_lum = (w_c[0] * 0.2126 + w_c[1] * 0.7152
+                       + w_c[2] * 0.0722)
+        nt_abs = jnp.abs(w_nt)
+        nnt = (nt_abs - 1.0) / jnp.maximum(nt_abs + 1.0, 1e-6)
+        r0 = nnt * nnt
+        f_refr = lane_mask(idx, lambda i: mat_types[i] in (
+            int(MatType.REFR_FRESNEL), int(MatType.REFR_SCHLICK))
+        ).astype(jnp.float32)
+        f_coat = lane_mask(
+            idx, lambda i: mat_types[i] == int(MatType.COAT)
+        ).astype(jnp.float32)
+        base = surface_lum + (r0 - surface_lum) * f_refr
+        brdf_weight = (base + ((1.0 - r0) * surface_lum - base)
+                       * f_coat) * ONE_OVER_PI
+
+        # per-slot target values p̂ at this vertex (evaluate_target,
+        # restir.py:109-130) — computed once, selected by every phase
+        tv_l, d2_l = [], []
+        for l in range(L):
+            lv = _sub(slot_pos[l], x)
+            d2 = _dot(lv, lv)
+            ldir = _normalize(lv)
+            cos_t = jnp.maximum(0.0, _dot(nl, ldir))
+            lc = slot_col[l]
+            light_lum = lc[0] * 0.2126 + lc[1] * 0.7152 + lc[2] * 0.0722
+            p_hat = (light_lum * brdf_weight * cos_t
+                     / jnp.maximum(d2, 1e-4))
+            valid = (d2 >= 1e-6) & (cos_t > 0.0) & (light_lum > 0.0)
+            tv = jnp.where(valid, p_hat, 0.0) if slot_live[l] else zeros
+            tv_l.append(tv)
+            d2_l.append(d2)
+
+        def combine(state, s_ws, s_m, s_w, s_age, s_idx, ok_extra, rand):
+            """combine_reservoirs (restir.py:171-203) on the 5-field
+            carry; target reweighting selects from tv_l."""
+            r_ws, r_m, r_w, r_age, r_idx = state
+            ok = _validity(s_ws, s_m, s_w, s_age, s_idx) & ok_extra
+            tw = _sel(s_idx, tv_l)
+            ok &= tw > 0.0
+            contribution = jnp.clip(
+                tw * jnp.maximum(s_w, 0.0) * jnp.maximum(s_m, 1.0),
+                0.0, 200.0)
+            ws_n = r_ws + jnp.where(ok, contribution, 0.0)
+            m_n = r_m + jnp.where(ok, s_m, 0.0)
+            over = m_n > 40.0
+            scale = jnp.where(over, 40.0 / jnp.maximum(m_n, 1e-6), 1.0)
+            ws_n = ws_n * scale
+            m_n = jnp.minimum(m_n, 40.0)
+            sel_prob = contribution / jnp.maximum(ws_n, 1e-12)
+            take = ok & (ws_n > 0.0) & (rand < sel_prob)
+            new_age = jnp.minimum(s_age + 0.25, MAX_RESERVOIR_AGE)
+            return (ws_n, m_n, r_w,
+                    jnp.where(take, new_age, r_age),
+                    jnp.where(take, s_idx, r_idx))
+
+        # ---- phase 1: candidate generation (restir.py:430-440) ----
+        r_ws = zeros
+        r_m = zeros
+        r_w = zeros
+        r_age = zeros
+        r_idx = jnp.full_like(x[0], -1, jnp.int32)
+        eff = min(cfg.restir_samples, max(4, L))
+        for i in range(eff):
+            c1, c2 = _uniform2(pix, pass_u, samp_u, depth_u,
+                               np.uint32(i),
+                               np.uint32(rng_mod.Stream.RESTIR_CANDIDATE))
+            slot = jnp.clip((c1 * L).astype(jnp.int32), 0, L - 1)
+            tv = _sel(slot, tv_l)
+            # update_reservoir (restir.py:133-150)
+            take = tv > 0.0
+            ws_n = r_ws + jnp.where(take, tv, 0.0)
+            m_n = r_m + jnp.where(take, 1.0, 0.0)
+            overflow = m_n > 60.0
+            ws_n = jnp.where(overflow, ws_n * 0.95, ws_n)
+            m_n = jnp.where(overflow, m_n * 0.95, m_n)
+            sel_prob = tv / jnp.maximum(ws_n, 1e-12)
+            take_sel = take & (ws_n > 0.0) & (c2 < sel_prob)
+            r_idx = jnp.where(take_sel, slot, r_idx)
+            r_ws, r_m = ws_n, m_n
+
+        # ---- phase 2: temporal reuse, identity reprojection
+        # (restir.py:443-484; the kernel's required mode) ----
+        for level in range(MAX_TEMPORAL_SAMPLES):
+            h_ws = hist_ref[level, _RES_WS]
+            h_m = hist_ref[level, _RES_M]
+            h_w = hist_ref[level, _RES_W]
+            h_age = hist_ref[level, _RES_AGE]
+            h_idx = hist_ref[level, _RES_IDX].astype(jnp.int32)
+            # pre-decay gates (restir.py:458-459)
+            ok_pre = (_validity(h_ws, h_m, h_w, h_age, h_idx)
+                      & frame_ok & (h_m > 0.0)
+                      & (h_age < MAX_RESERVOIR_AGE))
+            # decay (restir.py:469-473); pos/color refresh is implicit —
+            # all light data derives from the index
+            h_age = h_age + (level + 1.0)
+            alpha = TEMPORAL_ALPHA * (0.80 if level == 1 else 1.0) * \
+                (0.85 if animated else 1.0)
+            h_m = h_m * alpha
+            h_ws = h_ws * alpha
+            t_rand = _uniform(pix, pass_u, samp_u, depth_u,
+                              np.uint32(level),
+                              np.uint32(rng_mod.Stream.RESTIR_TEMPORAL),
+                              np.uint32(991))
+            r_ws, r_m, r_w, r_age, r_idx = combine(
+                (r_ws, r_m, r_w, r_age, r_idx),
+                h_ws, h_m, h_w, h_age, h_idx, ok_pre, t_rand)
+
+        # post-combine clamp (restir.py:481-484)
+        over = r_m > 100.0
+        r_m = jnp.where(over, jnp.minimum(r_m, 80.0), r_m)
+        r_ws = jnp.where(over, r_ws * 0.9, r_ws)
+
+        # ---- phase 3: spatial reuse (restir.py:487-519): aligned
+        # pre-rolled taps, compile-time offsets ----
+        for i in range(n_spatial):
+            s1, s2 = _uniform2(pix, pass_u, samp_u, depth_u,
+                               np.uint32(i),
+                               np.uint32(rng_mod.Stream.RESTIR_SPATIAL))
+            drow, dcol = tap_offsets[i]
+            in_b = ((rows + drow >= 0) & (rows + drow < height)
+                    & (cols + dcol >= 0) & (cols + dcol < width))
+            t_ws = taps_ref[i, _RES_WS]
+            t_m = taps_ref[i, _RES_M]
+            t_w = taps_ref[i, _RES_W]
+            t_age = taps_ref[i, _RES_AGE]
+            t_idx = taps_ref[i, _RES_IDX].astype(jnp.int32)
+
+            ok = in_b & (t_m > 0.0)
+            if i >= max(2, n_spatial // 2):
+                ok &= ~few_frames        # warm-up halving
+            ld2 = _sel(t_idx, d2_l)      # |stored light pos - x|²
+            ok &= ~((t_idx >= 0) & (ld2 > 225.0))
+            ok &= ~(t_age > age_thr)
+            ok &= ~(s1 < 0.03)
+            r_ws, r_m, r_w, r_age, r_idx = combine(
+                (r_ws, r_m, r_w, r_age, r_idx),
+                t_ws, t_m, t_w, t_age, t_idx, ok, s2)
+
+        # ---- phase 4: finalize + shade (restir.py:522-542) ----
+        # visibility (is_visible, restir.py:216-230)
+        win_pos = _sel3(r_idx, slot_pos)
+        sd = _sub(win_pos, x)
+        dist = jnp.sqrt(jnp.maximum(_dot(sd, sd), 1e-12))
+        close = dist < eps * 10.0
+        sdir = (sd[0] / dist, sd[1] / dist, sd[2] / dist)
+        t_vis, i_vis = intersect(_add(x, _scale(sdir, eps * 2.0)), sdir)
+        missed_vis = t_vis > 1e30
+        blocked = (t_vis < dist - eps * 2.0) & ~missed_vis
+        blocker_light = lane_mask(
+            i_vis, lambda i: mat_types[i] == int(MatType.LIGHT))
+        visible = close | ~blocked | (blocked & blocker_light)
+
+        # finalize_reservoir (restir.py:233-254)
+        p_hat = _sel(r_idx, tv_l)
+        good = (r_ws > 0.0) & (r_m > 0.0) & (p_hat > 0.0) & visible
+        m_cl = jnp.clip(r_m, 1.0, 40.0)
+        raw_w = r_ws / jnp.maximum(p_hat * m_cl, 1e-12)
+        norm_age = jnp.clip(r_age / MAX_RESERVOIR_AGE, 0.0, 1.0)
+        bias = jnp.where(r_age > 0.0,
+                         0.85 + 0.15 * (1.0 - norm_age * 0.3), 1.0)
+        bias = bias * jnp.where(m_cl > 16.0,
+                                _safe_sqrt(16.0 / m_cl), 1.0)
+        w_val = jnp.clip(bias * raw_w, 0.0, 12.0)
+        w_val = jnp.where(_finite(w_val), w_val, 0.0)
+        r_w = jnp.where(good, w_val, 0.0)
+        r_age = jnp.minimum(r_age, MAX_RESERVOIR_AGE)
+
+        # shade (_shade_selected, restir.py:268-320; supported scenes
+        # have analytic sphere lights only, so the cone branch is the
+        # whole dispatch)
+        slot_cl = jnp.clip(r_idx, 0, L - 1)
+        l_pos = _sel3(slot_cl, slot_pos)
+        j0 = _sel(slot_cl, slot_j0)
+        u1, u2 = _uniform2(pix, pass_u, samp_u, depth_u,
+                           np.uint32(rng_mod.Stream.NEE_CONE),
+                           np.uint32(77))
+        sw = _sub(l_pos, x)
+        d2s = _dot(sw, sw)
+        r2s = j0 * j0
+        mag = jnp.maximum(jnp.abs(d2s), 1e-12)     # vm.safe_div
+        ratio = jnp.clip(r2s / jnp.where(d2s < 0, -mag, mag), 0.0, 1.0)
+        cos_a_max = _safe_sqrt(1.0 - ratio)
+        dir_l = _sample_cone(_normalize(sw), 1.0 - cos_a_max, u1, u2)
+        t_sh, i_sh = intersect(_add(x, _scale(nl, eps)), dir_l)
+        missed_sh = t_sh > 1e30
+        hit_light = lane_mask(
+            i_sh, lambda i: mat_types[i] == int(MatType.LIGHT)) \
+            & ~missed_sh
+        _, _, hc, he, _ = select_mesh_params(i_sh)
+        lit = (jnp.maximum(hc[0], 0.001), jnp.maximum(hc[1], 0.001),
+               jnp.maximum(hc[2], 0.001))
+        cos_term = jnp.maximum(0.001, _dot(dir_l, nl))
+        if cfg.use_volumetrics:
+            fog = jnp.exp(-cfg.vol_sigma_t * t_sh)
+        else:
+            fog = 1.0
+        weight = 2.0 * (1.0 - cos_a_max)
+        ck = weight * cos_term * fog
+        con = (lit[0] * he[0] * ck, lit[1] * he[1] * ck,
+               lit[2] * he[2] * ck)
+        con = _where3(hit_light, con, (zeros, zeros, zeros))
+
+        eff_w = jnp.clip(r_w, 0.0, 8.0)
+        eff_w = eff_w * jnp.where(
+            r_m > 30.0,
+            _safe_sqrt(30.0 / jnp.maximum(r_m, 1e-6)), 1.0)
+        out = _scale(con, eff_w)
+        slot_in_range = (r_idx >= 0) & (r_idx < L)
+        shade_ok = (r_w > 0.0) & slot_in_range
+        all_fin = _finite(out[0]) & _finite(out[1]) & _finite(out[2])
+        gate = all_fin & shade_ok
+        out = _where3(gate, out, (zeros, zeros, zeros))
+        return out, (r_ws, r_m, r_w, r_age, r_idx)
+
+    return vertex
+
+
 def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
                   restir_slots=0, env_slots=0, gbuf_refs=None,
                   env_refs=None, tex_slots=0, tex_refs=None,
-                  tex_acc_refs=None):
+                  tex_acc_refs=None, restir_fused=None):
     """Build the one-bounce transition function on the explicit lane-state
     carry, closed over the scene values `sv` (raytracer.glsl:1986-2105
     radiance-loop body).
@@ -1156,12 +1517,24 @@ def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
     if cfg.use_spectral:
         hero_wl = _hero_wavelength(pix, pass_u, samp_u)
 
+    if restir_fused is not None:
+        restir_vertex = _build_restir_vertex(
+            meta, cfg, sv, g, pix, pass_u, samp_u,
+            restir_fused["height"], restir_fused["width"],
+            restir_fused["taps_ref"], restir_fused["hist_ref"])
+
     def bounce(depth_u, st):
         """One bounce on the explicit lane-state carry.  `depth_u` is a
         numpy constant when unrolled (bit-identical constant folding) or
         a traced uint32 under fori_loop.  The boolean lane masks travel
         as f32 0/1 (Mosaic can't carry i1 vectors through scf loops)."""
-        if tex_slots:
+        res_carry = None
+        if restir_fused is not None:
+            (o, d, mask, acc, active_f, specular_f, prev_nl,
+             ndif, nspec, nscat, r_ws, r_m, r_w, r_age, r_idx) = st
+            res_carry = (r_ws, r_m, r_w, r_age, r_idx)
+            ntex = None
+        elif tex_slots:
             (o, d, mask, acc, active_f, specular_f, prev_nl,
              ndif, nspec, nscat, ntex) = st
         else:
@@ -1603,6 +1976,21 @@ def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
                 def _(k=k, sel=sel, vals=vals):
                     for j, v in enumerate(vals):
                         pltpu.store(gbuf_refs[12 * k + j], v, mask=sel)
+        elif restir_fused is not None:
+            # ---- fused in-kernel ReSTIR: the whole reservoir pipeline
+            # runs here and shades this vertex directly; the lane's
+            # exported reservoir is the last diffuse vertex's (the
+            # reference's g_final_reservoir overwrite, raytracer.glsl:
+            # 1616, 2171-2174 — same commit rule as the XLA wavefront,
+            # integrator.py:261-266) ----
+            rs_out, rs_new = restir_vertex(hit_pos, nl, idx, depth_u)
+            acc = acc_add(acc, diffuse_lane,
+                          rs_out[0] * mask_after[0],
+                          rs_out[1] * mask_after[1],
+                          rs_out[2] * mask_after[2], ntex)
+            res_carry = tuple(
+                jnp.where(diffuse_lane, nv, ov)
+                for nv, ov in zip(rs_new, res_carry))
         elif cfg.sample_lights and any(li >= 0 for li in lights):
             # ---- NEE ----
             nee = shade_nee(hit_pos, nl, depth_u)
@@ -1635,14 +2023,16 @@ def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
         out = (o, d, mask, acc,
                jnp.where(active, 1.0, 0.0), jnp.where(specular, 1.0, 0.0),
                prev_nl, ndif, nspec, nscat)
-        if tex_slots:
+        if restir_fused is not None:
+            out = out + res_carry
+        elif tex_slots:
             out = out + (ntex_post,)
         return out
 
     return bounce
 
 
-def _st0(o, d, tex_slots=0):
+def _st0(o, d, tex_slots=0, restir_fused=False):
     """Initial lane-state carry for the bounce loop."""
     zeros = jnp.zeros_like(o[0])
     ones = jnp.ones_like(o[0])
@@ -1650,7 +2040,10 @@ def _st0(o, d, tex_slots=0):
     st = (o, d, (ones, ones, ones), (zeros, zeros, zeros),
           ones, ones, (zeros, ones, zeros),
           zeros_i, zeros_i, zeros_i)
-    if tex_slots:
+    if restir_fused:
+        # empty winner reservoir: ws, m, w, age = 0; light_index = -1
+        st = st + (zeros, zeros, zeros, zeros, zeros_i - 1)
+    elif tex_slots:
         st = st + (zeros_i,)  # ntex: image-texture vertices so far
     return st
 
@@ -1658,7 +2051,7 @@ def _st0(o, d, tex_slots=0):
 def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d,
                  unroll=True, restir_slots=0, env_slots=0,
                  gbuf_refs=None, env_refs=None, tex_slots=0,
-                 tex_refs=None, tex_acc_refs=None):
+                 tex_refs=None, tex_acc_refs=None, restir_fused=None):
     """Radiance of one SoA block.  Pure in (sv, o, d) — `sv` is a tuple of
     per-mesh 36-scalar tuples (the SMEM table snapshot) so `jax.vjp` of
     this function gives the exact adjoint w.r.t. scene params and rays.
@@ -1673,8 +2066,8 @@ def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d,
     exactly those bounces (raytracer.glsl:1899-1946)."""
     bounce = _build_bounce(meta, cfg, sv, pix, pass_u, samp_u, o,
                            restir_slots, env_slots, gbuf_refs, env_refs,
-                           tex_slots, tex_refs, tex_acc_refs)
-    st = _st0(o, d, tex_slots)
+                           tex_slots, tex_refs, tex_acc_refs, restir_fused)
+    st = _st0(o, d, tex_slots, restir_fused is not None)
     if unroll:
         # full unroll: short loops trace fast and spill nothing.
         # (A per-slot any-lane-alive lax.cond gate — which would carry
@@ -1702,6 +2095,8 @@ def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d,
             _alive,
             lambda c: (c[0] + 1, bounce(c[0].astype(jnp.uint32), c[1])),
             (jnp.int32(0), st))
+    if restir_fused is not None:
+        return st[3], st[10:15]
     return st[3]
 
 
@@ -2041,6 +2436,110 @@ def trace_forward_gbuffer(scene, cfg: RenderConfig, ro, rd, pix,
             valid=b[11] > 0.5,
         ))
     return radiance, gbuf
+
+
+def supported_restir_fused(scene, cfg: RenderConfig) -> bool:
+    """Can the fused in-kernel ReSTIR kernel serve this (scene, cfg)?
+    Same scene class as the split path, plus identity temporal
+    reprojection (the ad-hoc motion gather has no in-kernel analogue and
+    routes to the split/XLA paths)."""
+    return supported_restir(scene, cfg) and not cfg.restir_adhoc_motion
+
+
+def _fused_restir_kernel_body(meta, cfg: RenderConfig, hw, ft_ref, pp_ref,
+                              ox_ref, oy_ref, oz_ref,
+                              dx_ref, dy_ref, dz_ref,
+                              pix_ref, taps_ref, hist_ref,
+                              r_ref, g_ref, b_ref, res_ref):
+    sv = _load_scene_vals(ft_ref, len(meta[0]))
+    pass_u = pp_ref[0, 0].astype(jnp.uint32)
+    samp_u = pp_ref[0, 1].astype(jnp.uint32)
+    acc, res = _trace_block(
+        meta, cfg, sv, pix_ref[:], pass_u, samp_u,
+        (ox_ref[:], oy_ref[:], oz_ref[:]),
+        (dx_ref[:], dy_ref[:], dz_ref[:]),
+        unroll=cfg.max_bounces < cfg.megakernel_unroll_below,
+        restir_fused=dict(taps_ref=taps_ref, hist_ref=hist_ref,
+                          height=hw[0], width=hw[1]))
+    r_ref[:] = acc[0]
+    g_ref[:] = acc[1]
+    b_ref[:] = acc[2]
+    res_ref[_RES_WS] = res[0]
+    res_ref[_RES_M] = res[1]
+    res_ref[_RES_W] = res[2]
+    res_ref[_RES_AGE] = res[3]
+    res_ref[_RES_IDX] = res[4].astype(jnp.float32)
+
+
+def trace_forward_restir_fused(scene, cfg: RenderConfig, ro, rd, pix,
+                               pass_idx, sample_idx, back5, hist5):
+    """Fused ReSTIR render kernel: path trace + all four reservoir
+    phases + reservoir shading in ONE Pallas kernel (VERDICT r3 next #1
+    design (a) — the split G-buffer contract hit a measured ~8.4 ms/slot
+    Mosaic loop-state export floor; this exports 5 reservoir channels
+    plus radiance instead of 12 x max_diff_bounces G-buffer channels,
+    and eliminates the separate XLA phase pass and cast_rays launches).
+
+    `back5`  — previous frame's packed reservoirs [5, H, W]
+               (weight_sum, M, W, age, light_index-as-f32);
+    `hist5`  — temporal history levels [2, 5, H, W], same packing.
+
+    Returns (radiance [H, W, 3] *pre spectral scaling*, new packed
+    reservoirs [5, H, W]).  Spatial taps are pre-rolled here in XLA by
+    the 8 static Poisson offsets so every in-kernel tap is an aligned
+    block read (the rolls are two static slices each — the same trick
+    the XLA phase path uses, restir.py:386-397).
+    """
+    h, w = pix.shape
+    assert supports_shape(h, w), (h, w)
+    from raytracer0_tpu.ops.restir import POISSON_DISK, SPATIAL_RADIUS
+
+    meta = (scene.mesh_types_static, scene.mat_types_static,
+            scene.lights_static, scene.sdf_shapes_static,
+            scene.num_analytic, scene.tex_types_static, scene.opts_static,
+            int(scene.cubemap.shape[1])
+            if scene.cubemap_is_procedural else 0)
+    ft = _scene_table(scene)
+    pp = jnp.asarray([[pass_idx, sample_idx]], jnp.int32).reshape(1, 2)
+
+    taps = jnp.stack([
+        jnp.roll(back5,
+                 (-int(round(dy * SPATIAL_RADIUS)),
+                  -int(round(dx * SPATIAL_RADIUS))),
+                 axis=(1, 2))
+        for dx, dy in POISSON_DISK])                      # [8, 5, H, W]
+
+    grid = (h // BLOCK_ROWS, w // BLOCK_COLS)
+    row_spec = _row_spec()
+    kernel = functools.partial(_fused_restir_kernel_body, meta, cfg, (h, w))
+    interpret = os.environ.get("RT0_PALLAS_INTERPRET") == "1"
+    n_taps = len(POISSON_DISK)
+    r, g, b, res5 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # ft
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # pp
+            row_spec, row_spec, row_spec,            # o
+            row_spec, row_spec, row_spec,            # d
+            row_spec,                                # pix
+            pl.BlockSpec((n_taps, _RES_CH, BLOCK_ROWS, BLOCK_COLS),
+                         lambda i, j: (0, 0, i, j),
+                         memory_space=pltpu.VMEM),   # taps
+            pl.BlockSpec((2, _RES_CH, BLOCK_ROWS, BLOCK_COLS),
+                         lambda i, j: (0, 0, i, j),
+                         memory_space=pltpu.VMEM),   # hist
+        ],
+        out_specs=[row_spec, row_spec, row_spec,
+                   pl.BlockSpec((_RES_CH, BLOCK_ROWS, BLOCK_COLS),
+                                lambda i, j: (0, i, j),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((h, w), jnp.float32)] * 3
+        + [jax.ShapeDtypeStruct((_RES_CH, h, w), jnp.float32)],
+    )(ft, pp, ro[..., 0], ro[..., 1], ro[..., 2],
+      rd[..., 0], rd[..., 1], rd[..., 2], pix, taps, hist5)
+    return jnp.stack([r, g, b], axis=-1), res5
 
 
 def _cast_kernel_body(meta, cfg: RenderConfig, ft_ref,

@@ -442,18 +442,33 @@ def reservoir_direct(scene, cfg, back, hist, x, nl, mat_idx, pix,
     # ---- Phase 2: temporal reuse, 2 history levels (1656-1709) ----
     frame_ok = pass_idx > MAX_TEMPORAL_SAMPLES
     for level in range(0 if 'temporal' in _ablate else MAX_TEMPORAL_SAMPLES):
-        ju, jv = rng.uniform2(pix, pass_idx, sample_idx, depth, level,
-                              rng.Stream.RESTIR_TEMPORAL)
-        # ad-hoc motion vector + jitter reprojection (1486-1496)
-        motion_scale = 0.001 * (level + 1)
-        mx = (x[..., 0] - 0.0) * motion_scale
-        my = (x[..., 1] - 0.0) * motion_scale
-        uv_x = (cols.astype(jnp.float32) + 0.5) / width + mx + (ju - 0.5) * 0.002
-        uv_y = (rows.astype(jnp.float32) + 0.5) / height + my + (jv - 0.5) * 0.002
-        in_bounds = (uv_x > 0.01) & (uv_x < 0.99) & (uv_y > 0.01) & (uv_y < 0.99)
-        pr = jnp.clip((uv_y * height).astype(jnp.int32), 0, height - 1)
-        pc = jnp.clip((uv_x * width).astype(jnp.int32), 0, width - 1)
-        h_res, in_band = band_gather(hist_p[level], pr, pc)
+        if cfg.restir_adhoc_motion:
+            ju, jv = rng.uniform2(pix, pass_idx, sample_idx, depth, level,
+                                  rng.Stream.RESTIR_TEMPORAL)
+            # ad-hoc motion vector + jitter reprojection (1486-1496)
+            motion_scale = 0.001 * (level + 1)
+            mx = (x[..., 0] - 0.0) * motion_scale
+            my = (x[..., 1] - 0.0) * motion_scale
+            uv_x = (cols.astype(jnp.float32) + 0.5) / width \
+                + mx + (ju - 0.5) * 0.002
+            uv_y = (rows.astype(jnp.float32) + 0.5) / height \
+                + my + (jv - 0.5) * 0.002
+            in_bounds = ((uv_x > 0.01) & (uv_x < 0.99)
+                         & (uv_y > 0.01) & (uv_y < 0.99))
+            pr = jnp.clip((uv_y * height).astype(jnp.int32), 0, height - 1)
+            pc = jnp.clip((uv_x * width).astype(jnp.int32), 0, width - 1)
+            h_res, in_band = band_gather(hist_p[level], pr, pc)
+        else:
+            # identity reprojection (default): the camera is static while
+            # accumulating (any move clears state), so the pixel's history
+            # is its own — no gather, no edge rejection (PARITY.md; the
+            # reference's offset is an acknowledged ad-hoc placeholder,
+            # raytracer.glsl:1486-1496)
+            in_bounds = jnp.ones_like(rows, bool)
+            if grid_tap:
+                h_res, in_band = band_tap_static(hist_p[level], 0, 0)
+            else:
+                h_res, in_band = band_gather(hist_p[level], rows, cols)
 
         ok = is_valid_reservoir(h_res, L) & in_bounds & in_band & frame_ok
         ok &= (h_res["m"] > 0.0) & (h_res["age"] < MAX_RESERVOIR_AGE)
@@ -644,3 +659,68 @@ def render_sample_fast(scene, cfg, camera, state, height, width, pass_idx,
         total = total + rad + direct
         res_out = res_cur
     return total / cfg.samples_per_pass, Reservoirs(**res_out)
+
+
+def _pack5(res_tree):
+    """Reservoirs tree → the fused kernel's [5, H, W] packed state
+    (megakernel._RES_CH order: ws, m, w, age, light_index-as-f32)."""
+    return jnp.stack([
+        res_tree["weight_sum"], res_tree["m"], res_tree["w"],
+        res_tree["age"], res_tree["light_index"].astype(jnp.float32)])
+
+
+def _unpack5(scene, res5):
+    """[5, H, W] packed state → Reservoirs, re-deriving light_pos /
+    light_color from the light index (they are pure functions of it —
+    candidate generation stores the slot table's center/color and
+    temporal/spatial merges only move stored values, restir.py:419-426;
+    a -1 index yields the empty reservoir's zeros)."""
+    idx = res5[4].astype(jnp.int32)
+    li_arr = jnp.maximum(scene.light_idx, 0)
+    pos_tab = scene.pos[li_arr]
+    col_tab = scene.color[li_arr] * scene.emission[li_arr]
+    live = idx >= 0
+    pos = jnp.where(live[..., None], _row_select(
+        jnp.maximum(idx, 0), pos_tab), 0.0)
+    col = jnp.where(live[..., None], _row_select(
+        jnp.maximum(idx, 0), col_tab), 0.0)
+    from raytracer0_tpu.render.state import Reservoirs
+    return Reservoirs(light_pos=pos, light_color=col,
+                      weight_sum=res5[0], m=res5[1], w=res5[2],
+                      age=res5[3], light_index=idx)
+
+
+def render_sample_fused(scene, cfg, camera, state, height, width, pass_idx,
+                        time_s=0.0):
+    """ReSTIR render pass on the fused megakernel (VERDICT r3 next #1):
+    path trace + all reservoir phases + reservoir shading in one Pallas
+    launch (megakernel.trace_forward_restir_fused).  Same RNG streams
+    and phase math as `render_sample`, which remains the semantics
+    oracle (parity test: tests/test_restir.py).  Requires
+    `megakernel.supported_restir_fused(scene, cfg)`."""
+    from raytracer0_tpu.ops import megakernel
+    from raytracer0_tpu.models.camera import generate_rays as _gen
+
+    scene_frame = scene_mod.animate_positions(scene, time_s,
+                                              int(cfg.render_mode))
+    pix = rng.pixel_ids(height, width)
+    back5 = _pack5(_res_tree(state.restir_back))
+    hist5 = jnp.stack([_pack5(_res_tree(state.restir_hist1)),
+                       _pack5(_res_tree(state.restir_hist2))])
+
+    total = jnp.zeros((height, width, 3), jnp.float32)
+    res5_out = None
+    for s in range(cfg.samples_per_pass):
+        ro, rd = _gen(camera, height, width, pass_idx, sample_idx=s)
+        rad, res5_out = megakernel.trace_forward_restir_fused(
+            scene_frame, cfg, ro, rd, pix, pass_idx, s, back5, hist5)
+        if cfg.use_spectral:
+            # whole-frame hero-wavelength scaling (raytracer.glsl:
+            # 2153-2155) — the kernel's radiance already includes the
+            # reservoir direct light, so one scale covers both
+            from raytracer0_tpu.ops import spectral
+            wl = spectral.sample_wavelength(
+                rng.uniform(pix, pass_idx, s, rng.Stream.WAVELENGTH))
+            rad = rad * spectral.wavelength_to_rgb(wl)
+        total = total + rad
+    return total / cfg.samples_per_pass, _unpack5(scene_frame, res5_out)

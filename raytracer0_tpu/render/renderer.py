@@ -107,6 +107,21 @@ def _megakernel_restir_ok(scene, cfg, height, width):
         return False
 
 
+def _megakernel_restir_fused_ok(scene, cfg, height, width):
+    """Dispatch gate for the fused in-kernel ReSTIR path (forward-only):
+    trace + reservoir phases + shading in one Pallas launch."""
+    if not cfg.use_megakernel:
+        return False
+    from raytracer0_tpu.ops import megakernel
+    if not (megakernel.supported_restir_fused(scene, cfg)
+            and megakernel.supports_shape(height, width)):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
 def sample_radiance(scene, cfg: RenderConfig, camera: Camera,
                     height: int, width: int, pass_idx, time_s=0.0,
                     restir_sampler=None, row0=0, full_height=None):
@@ -149,9 +164,13 @@ def render_pass(scene, camera: Camera, cfg: RenderConfig,
     if restir is not None:
         # ReSTIR-enabled passes produce a new reservoir buffer as a second
         # output; ops.restir wires the integrator hook and phase pipeline.
-        # On TPU with a supported scene the split Pallas fast path runs:
-        # G-buffer megakernel + XLA reservoir phases + cast_rays shadows.
-        if _megakernel_restir_ok(scene, cfg, height, width):
+        # On TPU with a supported scene the fused Pallas kernel runs the
+        # whole pipeline in one launch; the split path (G-buffer
+        # megakernel + XLA phases + cast_rays) covers the ad-hoc
+        # reprojection mode; everything else takes the XLA wavefront.
+        if _megakernel_restir_fused_ok(scene, cfg, height, width):
+            render_fn = restir.render_sample_fused
+        elif _megakernel_restir_ok(scene, cfg, height, width):
             render_fn = restir.render_sample_fast
         else:
             render_fn = restir.render_sample

@@ -100,9 +100,12 @@ def test_four_shards_min_band_full_phases():
 def test_animated_reprojection_across_shards():
     """Animated mode: temporal reprojection refreshes stored light data
     from the current animation and taps at motion-offset coordinates
-    (raytracer.glsl:1669-1676, 1486-1496) — must stay shard-exact."""
+    (raytracer.glsl:1669-1676, 1486-1496) — must stay shard-exact.
+    Pinned to the ad-hoc reprojection flag so the reprojection *gather*
+    path stays covered now that identity is the default."""
     scene, cam, cfg = animated_restir()
-    cfg = cfg.replace(max_bounces=2, restir_samples=4, marching_steps=16)
+    cfg = cfg.replace(max_bounces=2, restir_samples=4, marching_steps=16,
+                      restir_adhoc_motion=True)
     H, W = 64, 16
     single, sharded = _run_both(scene, cam, cfg, H, W, n_shards=4, frames=5,
                                 time_fn=lambda p: 0.15 * p)
@@ -121,6 +124,57 @@ def test_sharded_restir_stress_many_lights():
     single, sharded = _run_both(scene, cam, cfg, H, W, n_shards=2, frames=4)
     _assert_match(single, sharded)
     assert float(jnp.mean(single[1].restir_back.m)) > 0.5
+
+
+def test_restir_train_step_grads_match_single_device():
+    """Differentiable ReSTIR composes with sharding (VERDICT r3 weak #4 /
+    next #4i): `make_restir_train_step` — loss + psum'd parameter grads
+    through the halo'd reservoir pipeline — must produce finite, nonzero
+    gradients that match the 1-shard mesh bit-for-nearly-bit."""
+    scene, cam, cfg = restir_demo()
+    cfg = cfg.replace(max_bounces=2, restir_samples=4, marching_steps=16)
+    H, W = 64, 16
+
+    # warm reservoir state (sharded path; state itself matches
+    # single-device per the tests above)
+    mesh2 = sharding.make_tile_mesh(2)
+    state = RenderState.create(H, W)
+    for p in range(3):
+        _, back = halo.sharded_restir_render_pass(
+            scene, cam, cfg, mesh2, state, H, W, p)
+        state = state.rotate_reservoirs(back)
+
+    target = jnp.zeros((H, W, 3), jnp.float32)
+    step2 = halo.make_restir_train_step(cfg, mesh2, H, W,
+                                        param_labels=("emission", "color"))
+    loss2, grads2, back2 = step2(scene, cam, target, state, 3)
+
+    mesh1 = sharding.make_tile_mesh(1)
+    step1 = halo.make_restir_train_step(cfg, mesh1, H, W,
+                                        param_labels=("emission", "color"))
+    dev0 = mesh1.devices.flat[0]
+    state1 = jax.tree.map(lambda x: jax.device_put(x, dev0), state)
+    loss1, grads1, back1 = step1(scene, cam, target, state1, 3)
+
+    assert np.isfinite(float(loss2)) and float(loss2) > 0.0
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
+    for k in ("emission", "color"):
+        g2, g1 = np.asarray(grads2[k]), np.asarray(grads1[k])
+        assert np.isfinite(g2).all(), k
+        assert np.any(g2 != 0.0), k
+        np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-7)
+    # the step also returns usable reservoir output
+    np.testing.assert_allclose(np.asarray(back2.m), np.asarray(back1.m),
+                               atol=1e-5)
+
+
+def test_make_train_step_refuses_silent_restir_drop():
+    """sharding.make_train_step must not silently render without ReSTIR
+    when cfg.use_restir=True (VERDICT r3 weak #4ii)."""
+    _, _, cfg = restir_demo()
+    mesh = sharding.make_tile_mesh(2)
+    with pytest.raises(ValueError, match="make_restir_train_step"):
+        sharding.make_train_step(cfg, mesh, 64, 16)
 
 
 def test_min_band_guard():

@@ -309,6 +309,100 @@ def test_fast_path_matches_wavefront_default_tier():
     assert np.median(err) < 1e-6
 
 
+def test_fused_path_matches_wavefront_default_tier():
+    """Fused in-kernel ReSTIR (trace + all reservoir phases + shading in
+    one Pallas launch, VERDICT r3 next #1) vs the XLA wavefront
+    semantics oracle: one 8x128 pass, 2 bounces, interpret mode."""
+    import os
+
+    scene, cam, cfg = restir_demo()
+    cfg = cfg.replace(max_bounces=2, samples_per_pass=1, max_diff_bounces=2,
+                      restir_samples=4, marching_steps=16)
+    H, W = 8, 128
+
+    def run(fn, st):
+        rad, nb = fn(scene, cfg, cam, st, H, W, 0)
+        return np.asarray(rad), nb
+
+    ref, nb_ref = run(restir.render_sample, RenderState.create(H, W))
+    os.environ["RT0_PALLAS_INTERPRET"] = "1"
+    try:
+        fast, nb_fast = run(restir.render_sample_fused,
+                            RenderState.create(H, W))
+    finally:
+        del os.environ["RT0_PALLAS_INTERPRET"]
+    err = np.abs(ref - fast)
+    assert err.max() < 5e-3, err.max()
+    assert np.median(err) < 1e-6
+    # the exported reservoirs must agree too (incl. the re-derived
+    # light_pos/light_color — pure functions of light_index)
+    for k in ("weight_sum", "m", "w", "age"):
+        np.testing.assert_allclose(np.asarray(getattr(nb_fast, k)),
+                                   np.asarray(getattr(nb_ref, k)),
+                                   atol=1e-4)
+    li_ref = np.asarray(nb_ref.light_index)
+    li_fast = np.asarray(nb_fast.light_index)
+    assert (li_ref == li_fast).mean() > 0.995
+    agree = li_ref == li_fast
+    np.testing.assert_allclose(np.asarray(nb_fast.light_pos)[agree],
+                               np.asarray(nb_ref.light_pos)[agree],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nb_fast.light_color)[agree],
+                               np.asarray(nb_ref.light_color)[agree],
+                               atol=1e-5)
+
+
+@pytest.mark.slow
+def test_fused_path_matches_wavefront_multiframe():
+    """Fused path across 3 reservoir rotations (temporal reuse live from
+    pass 3) + the 41-light stress preset single-frame.
+
+    slow: several interpret-mode renders on 2 CPU cores."""
+    import os
+
+    from raytracer0_tpu.models.presets import restir_stress
+
+    scene, cam, cfg = restir_demo()
+    cfg = cfg.replace(max_bounces=2, samples_per_pass=1, max_diff_bounces=2,
+                      restir_samples=4, marching_steps=16)
+    H, W = 8, 128
+
+    def run(fn):
+        st = RenderState.create(H, W)
+        outs = []
+        for p in range(4):
+            rad, nb = fn(scene, cfg, cam, st, H, W, p)
+            st = st.rotate_reservoirs(nb)
+            outs.append(np.asarray(rad))
+        return outs
+
+    ref = run(restir.render_sample)
+    os.environ["RT0_PALLAS_INTERPRET"] = "1"
+    try:
+        fast = run(restir.render_sample_fused)
+    finally:
+        del os.environ["RT0_PALLAS_INTERPRET"]
+    for a, b in zip(ref, fast):
+        err = np.abs(a - b)
+        assert err.max() < 5e-3, err.max()
+        assert np.median(err) < 1e-6
+
+    scene_s, cam_s, cfg_s = restir_stress()
+    cfg_s = cfg_s.replace(max_bounces=2, restir_samples=8,
+                          marching_steps=16)
+    st = RenderState.create(H, W)
+    ref_s, _ = restir.render_sample(scene_s, cfg_s, cam_s, st, H, W, 0)
+    os.environ["RT0_PALLAS_INTERPRET"] = "1"
+    try:
+        fast_s, _ = restir.render_sample_fused(scene_s, cfg_s, cam_s, st,
+                                               H, W, 0)
+    finally:
+        del os.environ["RT0_PALLAS_INTERPRET"]
+    err = np.abs(np.asarray(ref_s) - np.asarray(fast_s))
+    assert err.max() < 5e-3, err.max()
+    assert np.median(err) < 1e-6
+
+
 @pytest.mark.slow
 def test_fast_path_matches_wavefront():
     """render_sample_fast (G-buffer megakernel + XLA reservoir phases +

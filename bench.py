@@ -57,6 +57,19 @@ WARMUP = 2
 ITERS = 40
 
 
+def _one_leaf(tree):
+    """A single leaf of a chained computation's output: transferring one
+    element of it is a full barrier (execution N requires N-1's outputs;
+    one executable's outputs complete together).  `sync` costs one
+    tunnel ROUND TRIP per leaf (~25 ms on this container's remote
+    platform), so syncing a whole RenderState (25 leaves) at the end of
+    a timing loop silently added ~25·RTT/iters ms/pass to every
+    round-1..3 bench number — measured and fixed in round 4
+    (experiments/README.md)."""
+    import jax as _jax
+    return _jax.tree.leaves(tree)[0]
+
+
 def _timeit(fn, *args_list):
     """Steady-state seconds/call over ITERS calls (host-transfer sync)."""
     from raytracer0_tpu.utils.profiling import sync
@@ -66,13 +79,68 @@ def _timeit(fn, *args_list):
     compile_s = time.perf_counter() - t0
     for a in args_list[1:WARMUP]:
         fn(*a)
-    sync(fn(*args_list[WARMUP - 1]))
+    sync(_one_leaf(fn(*args_list[WARMUP - 1])))
     t0 = time.perf_counter()
     out = None
     for a in args_list[WARMUP:WARMUP + ITERS]:
         out = fn(*a)
-    sync(out)
+    sync(_one_leaf(out))
     return (time.perf_counter() - t0) / ITERS, compile_s
+
+
+#: Approximate VPU issue-slot weights per HLO opcode (TPU v5e vector
+#: unit).  1 = one lane-wide ALU slot; transcendentals and division are
+#: multi-slot sequences.  Deliberately coarse — the point is an
+#: *op-mix-aware* ceiling, not a cycle-exact model (VERDICT r3 next #8:
+#: pure flop counts undercount select/compare-heavy shading code, which
+#: pays full slots for ops cost_analysis counts as zero).
+_VPU_OP_WEIGHTS = {
+    "add": 1, "subtract": 1, "multiply": 1, "maximum": 1, "minimum": 1,
+    "and": 1, "or": 1, "xor": 1, "not": 1, "negate": 1, "abs": 1,
+    "compare": 1, "select": 1, "clamp": 1, "sign": 1, "floor": 1,
+    "ceil": 1, "round-nearest-afz": 1, "convert": 1, "bitcast-convert": 1,
+    "shift-left": 1, "shift-right-logical": 1, "shift-right-arithmetic": 1,
+    "divide": 8, "sqrt": 8, "rsqrt": 8, "power": 16,
+    "exponential": 8, "log": 8, "sine": 12, "cosine": 12, "atan2": 16,
+    "tanh": 8, "is-finite": 1,
+}
+
+
+def _op_mix_ceiling(compiled, dt, peak_ops_per_s):
+    """Parse the optimized HLO of the XLA-semantics-oracle step and build
+    an op-mix-weighted VPU ceiling: every elementwise op line in every
+    computation (fusion bodies included — they appear as their own
+    computations in the module text), weighted by output element count
+    and the issue-slot table above.  Returns the analysis dict."""
+    import re
+
+    txt = compiled.as_text()
+    weighted = 0.0
+    by_kind = {}
+    for m in re.finditer(
+            r"=\s+(?:f32|f16|bf16|s32|u32|pred|s8|u8)\[([\d,]*)\][^\s]*\s+"
+            r"([a-z-]+)\(", txt):
+        shape, op = m.group(1), m.group(2)
+        w = _VPU_OP_WEIGHTS.get(op)
+        if w is None:
+            continue
+        n = 1
+        for d in shape.split(","):
+            if d:
+                n *= int(d)
+        weighted += w * n
+        by_kind[op] = by_kind.get(op, 0) + w * n
+    ideal_s = weighted / peak_ops_per_s
+    top = sorted(by_kind.items(), key=lambda kv: -kv[1])[:8]
+    return {
+        "weighted_vpu_ops": weighted,
+        "ideal_ms": round(ideal_s * 1e3, 2),
+        "of_op_mix_ceiling": round(ideal_s / dt, 3),
+        "top_ops_pct": {k: round(100.0 * v / weighted, 1) for k, v in top},
+        "note": "HLO of the XLA oracle graph; weights = approx VPU "
+                "issue slots (transcendentals/div multi-slot); ceiling "
+                "= weighted ops / f32 vector peak",
+    }
 
 
 def bench_cornell():
@@ -105,8 +173,9 @@ def bench_cornell():
             return jnp.sum(sample_radiance(s, cfg_xla, camera, H, W,
                                            pass_idx))
 
-        ca = (jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2, 3)))
-              .lower(*a, 0).compile().cost_analysis())
+        compiled = (jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2, 3)))
+                    .lower(*a, 0).compile())
+        ca = compiled.cost_analysis()
         flops = float(ca.get("flops", 0.0))
         kind = jax.devices()[0].device_kind
         peak = VPU_F32_PEAK.get(kind)
@@ -117,6 +186,10 @@ def bench_cornell():
             "vpu_f32_peak_tflops": peak and peak / 1e12,
             "sol_fraction": peak and round(flops / dt / peak, 3),
         }
+        if peak:
+            # op-mix ceiling (VERDICT r3 next #8): selects/compares pay
+            # full VPU slots that the flop counter scores as zero
+            sol["op_mix"] = _op_mix_ceiling(compiled, dt, peak)
     except Exception as e:  # cost analysis is best-effort observability
         sol = {"error": f"{type(e).__name__}: {e}"}
 
@@ -130,13 +203,14 @@ def _renderer_ms(scene, camera, cfg, iters=ITERS, time_fn=None):
     r = Renderer(scene, camera, cfg, H, W)
     tf = time_fn or (lambda i: 0.0)
     t0 = time.perf_counter()
-    sync(r.step(tf(0)))
+    sync(r.step(tf(0)).passes)
     compile_s = time.perf_counter() - t0
-    sync(r.step(tf(1)))
+    sync(r.step(tf(1)).passes)
     t0 = time.perf_counter()
     for i in range(iters):
         r.step(tf(2 + i))
-    sync(r.state)
+    # one-leaf barrier: `passes` is chained through every render_pass
+    sync(r.state.passes)
     return (time.perf_counter() - t0) / iters, compile_s
 
 
@@ -164,13 +238,13 @@ def bench_restir():
                      static_argnames=("cf",))
         st = RenderState.create(H, W)
         rad, nb = f(scene, cfg, camera, st, jnp.uint32(0))
-        sync(rad)
+        sync(_one_leaf(rad))
         st = st.rotate_reservoirs(nb)
         t0 = time.perf_counter()
         for p in range(1, frames + 1):
             rad, nb = f(scene, cfg, camera, st, jnp.uint32(p))
             st = st.rotate_reservoirs(nb)
-        sync(rad)
+        sync(_one_leaf(rad))
         return (time.perf_counter() - t0) / frames
 
     split_ms = _chain_ms(
@@ -190,12 +264,12 @@ def bench_restir():
         return jnp.sum(rad)
 
     gstep = _jax.jit(_jax.grad(loss))
-    sync(gstep(scene.emission, jnp.uint32(0)))
+    sync(_one_leaf(gstep(scene.emission, jnp.uint32(0))))
     t0 = time.perf_counter()
     out = None
     for p in range(5):
         out = gstep(scene.emission, jnp.uint32(p))
-    sync(out)
+    sync(_one_leaf(out))
     fwd_bwd_ms = (time.perf_counter() - t0) / 5
     return ms, compile_s, split_ms, stress_ms, fwd_bwd_ms
 
@@ -274,13 +348,13 @@ def bench_config5():
     scene, camera, cfg = spectral_caustics()
     r = Renderer(scene, camera, cfg, H, W)
     t0 = time.perf_counter()
-    sync(r.step())
+    sync(r.step().passes)
     compile_s = time.perf_counter() - t0
-    sync(r.step())
+    sync(r.step().passes)
     t0 = time.perf_counter()
     for _ in range(ITERS):
         r.step()
-    sync(r.state)
+    sync(r.state.passes)
     return (time.perf_counter() - t0) / ITERS, compile_s
 
 

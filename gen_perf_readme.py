@@ -33,19 +33,22 @@ def fmt(detail):
         ("Cornell forward+backward",
          f"{d['fwd_bwd_ms']} ms ({detail['value'] / 1e6:.0f}M rays/s, "
          f"bwd/fwd {sol.get('bwd_over_fwd', '?')}x)"),
-        ("ReSTIR (restir_demo, 9 lights)",
+        ("ReSTIR (restir_demo, 9 lights, fused in-kernel pipeline)",
          f"{d['restir_ms_per_pass']} ms "
-         f"(G-buffer trace {d.get('restir_gbuffer_ms', '?')} ms + "
-         f"reservoir phases/casts {d.get('restir_phases_ms', '?')} ms)"),
+         f"(round-3 split path: {d.get('restir_split_ms_per_pass', '?')} ms)"),
+        ("ReSTIR fwd+bwd (differentiable reservoir state)",
+         f"{d.get('restir_fwd_bwd_ms', '?')} ms"),
         ("ReSTIR stress (41 lights)",
          f"{d.get('restir_stress_ms_per_pass', '?')} ms"),
         ("animated ReSTIR frame (6 bounces, EMA)",
          f"{d.get('animated_restir_ms_per_frame', '?')} ms "
          f"(reference animation gate: {d.get('animated_budget_ms', 16)} ms)"),
         ("image-textured Cornell (deferred texels)",
-         f"{d.get('imgtex_ms_per_pass', '?')} ms"),
+         f"{d.get('imgtex_ms_per_pass', '?')} ms "
+         f"(XLA route: {d.get('imgtex_xla_ms_per_pass', '?')} ms)"),
         ("photographic cubemap (deferred fetches)",
-         f"{d.get('cubemap_ms_per_pass', '?')} ms"),
+         f"{d.get('cubemap_ms_per_pass', '?')} ms "
+         f"(XLA route: {d.get('cubemap_xla_ms_per_pass', '?')} ms)"),
         ("spectral+volumetric (config 5)",
          f"{d['config5_ms_per_pass']} ms"),
     ]
@@ -61,19 +64,31 @@ def fmt(detail):
     for name, val in rows:
         lines.append(f"| {name} | {val} |")
     if sol:
-        lines += [
-            "",
+        line = (
             f"Speed of light: {sol.get('xla_flops_per_step', 0) / 1e9:.1f} "
             f"GFLOP/step (XLA cost oracle) → "
             f"{sol.get('achieved_tflops', '?')} TFLOP/s ≈ "
             f"{100 * (sol.get('sol_fraction') or 0):.0f}% of the "
-            f"{sol.get('device_kind', '?')} f32 vector peak "
-            "(select/compare-heavy VPU code; flop counts undercount). "
-            "Adjoint alternatives measured (ms): "
-            + ", ".join(f"{k} {v}" for k, v in
-                        sol.get("adjoint_alternatives_ms", {}).items()
-                        if k != "note") + ".",
-        ]
+            f"{sol.get('device_kind', '?')} f32 vector peak.")
+        mix = sol.get("op_mix")
+        if mix:
+            line += (
+                f" Op-mix-weighted ceiling (selects/compares at full VPU "
+                f"slots, transcendentals multi-slot): ideal "
+                f"{mix.get('ideal_ms', '?')} ms → the step runs at "
+                f"{100 * (mix.get('of_op_mix_ceiling') or 0):.0f}% of the "
+                f"op-mix ceiling; top ops "
+                + ", ".join(f"{k} {v}%" for k, v in
+                            list(mix.get("top_ops_pct", {}).items())[:4])
+                + ".")
+        sweep = sol.get("adjoint_sweep")
+        if sweep:
+            line += (" Adjoint sweep (fwd / fwd+bwd ms): "
+                     + ", ".join(
+                         f"{k.split('_')[1]} bounces {v['fwd_ms']}/"
+                         f"{v['fwd_bwd_ms']}"
+                         for k, v in sweep.items()) + ".")
+        lines += ["", line]
     lines.append(END)
     return "\n".join(lines)
 

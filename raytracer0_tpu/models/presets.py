@@ -300,6 +300,43 @@ def cubemap_demo(cubemap=None, **cfg_kw):
     return scene, camera, cfg
 
 
+def textured_emitter(**cfg_kw):
+    """Framework extra (round 4): the Cornell box whose LIGHT sphere
+    carries an IMAGE1 texture on color AND emission, plus the
+    image-textured diffuse sphere — exercises both deferred-record
+    kinds of the imgtex megakernel split at once (terminal emissive-hit
+    records + throughput-ratio groups; raytracer.glsl:2071-2090)."""
+    import numpy as np
+    from raytracer0_tpu.models.materials import Material, MatType, MeshType, TEX_1
+    from raytracer0_tpu.models.scene import SceneBuilder
+    import jax.numpy as jnp
+
+    g = np.linspace(0.0, 1.0, 64, dtype=np.float32)
+    images = np.ones((4, 64, 64, 4), np.float32)
+    images[1, ..., 0] = 0.3 + 0.7 * g[None, :]
+    images[1, ..., 1] = 0.3 + 0.7 * g[:, None]
+    images[1, ..., 2] = 0.5 + 0.5 * np.sin(g[:, None] * 19.0) \
+        * np.cos(g[None, :] * 23.0)
+
+    tex_light = Material(c=(1.0, 1.0, 1.0), e=(8.0, 7.0, 6.0),
+                         t=MatType.LIGHT, tex=TEX_1,
+                         opts=(True, True, False, False))
+    sb = SceneBuilder()
+    sb.add("MAT_WHITE", MeshType.PLANE, (0.0, 1.0, 0.0), (2.0,))
+    sb.add("MAT_WHITE", MeshType.PLANE, (0.0, -1.0, 0.0), (2.0,))
+    sb.add("MAT_GREEN", MeshType.PLANE, (1.0, 0.0, 0.0), (2.0,))
+    sb.add("MAT_RED", MeshType.PLANE, (-1.0, 0.0, 0.0), (2.0,))
+    sb.add("MAT_WHITE", MeshType.PLANE, (0.0, 0.0, 1.0), (2.0,))
+    sb.add("MAT_WHITE", MeshType.PLANE, (0.0, 0.0, -1.0), (2.0,))
+    sb.add(tex_light, MeshType.SPHERE, (0.0, 1.6, 0.0), (0.3,))
+    sb.add("MAT_TEST", MeshType.SPHERE, (0.0, -0.8, 0.0), (0.7,))
+    scene = sb.build().replace(images=jnp.asarray(images))
+    camera = Camera.make(origin=(0.0, 0.0, 1.9), lookat=(0.0, -0.4, -1.0),
+                         fov=60.0)
+    cfg = _cfg(use_procedural_sky=False, **cfg_kw)
+    return scene, camera, cfg
+
+
 PRESETS = {
     "cornell_default": cornell_default,
     "default": default_scene,
@@ -312,5 +349,6 @@ PRESETS = {
     "animated_restir": animated_restir,
     "spectral_caustics": spectral_caustics,
     "textured_cornell": textured_cornell,
+    "textured_emitter": textured_emitter,
     "cubemap_demo": cubemap_demo,
 }

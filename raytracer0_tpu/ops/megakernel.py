@@ -1386,7 +1386,8 @@ def _build_restir_vertex(meta, cfg: RenderConfig, sv, g, pix, pass_u,
 def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
                   restir_slots=0, env_slots=0, gbuf_refs=None,
                   env_refs=None, tex_slots=0, tex_refs=None,
-                  tex_acc_refs=None, restir_fused=None):
+                  tex_acc_refs=None, restir_fused=None,
+                  texlight_refs=None):
     """Build the one-bounce transition function on the explicit lane-state
     carry, closed over the scene values `sv` (raytracer.glsl:1986-2105
     radiance-loop body).
@@ -1509,10 +1510,21 @@ def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
     ones = jnp.ones_like(o[0])
     # (initial carry values live in _st0 — the single source of truth;
     #  bounce() only ever sees the unpacked carry)
-    img_rows = [i for i in range(n_mesh)
-                if tex_slots and len(tex_types) == n_mesh
-                and int(TexType.IMAGE0) <= tex_types[i] <= int(TexType.IMAGE3)
-                and (opts_ce[i][0] or opts_ce[i][1])]
+    _img_textured = [i for i in range(n_mesh)
+                     if (tex_slots or texlight_refs is not None)
+                     and len(tex_types) == n_mesh
+                     and int(TexType.IMAGE0) <= tex_types[i]
+                     <= int(TexType.IMAGE3)
+                     and (opts_ce[i][0] or opts_ce[i][1])]
+    # DIFF rows: placeholder-texel throughput deferral (ntex groups);
+    # LIGHT rows: terminal emissive-hit records (round 4) — the hit's
+    # contribution mask*c*e*mis is linear in the texel and nothing
+    # downstream depends on it, exactly like a cubemap fetch
+    img_rows = [i for i in _img_textured
+                if tex_slots and mat_types[i] == int(MatType.DIFF)]
+    img_light_rows = [i for i in _img_textured
+                      if texlight_refs is not None
+                      and mat_types[i] == int(MatType.LIGHT)]
 
     if cfg.use_spectral:
         hero_wl = _hero_wavelength(pix, pass_u, samp_u)
@@ -1811,6 +1823,22 @@ def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
         else:
             mis_w = ones
         lgate = is_light
+        if img_light_rows:
+            # image-textured emitter: suppress the in-kernel accumulate
+            # and export (throughput*mis, hit pos, idx, 1+group) — the
+            # host resolves the true textured c*e (terminal, one record
+            # per lane max)
+            tex_light = lgate & lane_mask(
+                idx, lambda i: i in img_light_rows)
+            lgate = lgate & ~tex_light
+            grp_f = (jnp.zeros_like(hit_pos[0]) if ntex is None
+                     else ntex.astype(jnp.float32))
+            for j, v in enumerate((
+                    mask[0] * mis_w, mask[1] * mis_w, mask[2] * mis_w,
+                    hit_pos[0], hit_pos[1], hit_pos[2],
+                    idx.astype(jnp.float32), 1.0 + grp_f)):
+                texlight_refs[j][...] = jnp.where(tex_light, v,
+                                                  texlight_refs[j][...])
         acc = acc_add(acc, lgate, mask[0] * c[0] * e[0] * mis_w,
                       mask[1] * c[1] * e[1] * mis_w,
                       mask[2] * c[2] * e[2] * mis_w, ntex)
@@ -2051,7 +2079,8 @@ def _st0(o, d, tex_slots=0, restir_fused=False):
 def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d,
                  unroll=True, restir_slots=0, env_slots=0,
                  gbuf_refs=None, env_refs=None, tex_slots=0,
-                 tex_refs=None, tex_acc_refs=None, restir_fused=None):
+                 tex_refs=None, tex_acc_refs=None, restir_fused=None,
+                 texlight_refs=None):
     """Radiance of one SoA block.  Pure in (sv, o, d) — `sv` is a tuple of
     per-mesh 36-scalar tuples (the SMEM table snapshot) so `jax.vjp` of
     this function gives the exact adjoint w.r.t. scene params and rays.
@@ -2066,7 +2095,8 @@ def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d,
     exactly those bounces (raytracer.glsl:1899-1946)."""
     bounce = _build_bounce(meta, cfg, sv, pix, pass_u, samp_u, o,
                            restir_slots, env_slots, gbuf_refs, env_refs,
-                           tex_slots, tex_refs, tex_acc_refs, restir_fused)
+                           tex_slots, tex_refs, tex_acc_refs, restir_fused,
+                           texlight_refs)
     st = _st0(o, d, tex_slots, restir_fused is not None)
     if unroll:
         # full unroll: short loops trace fast and spill nothing.
@@ -2753,10 +2783,16 @@ def supported_imgtex(scene, cfg: RenderConfig) -> bool:
             continue
         if int(TexType.IMAGE0) <= tt <= int(TexType.IMAGE3):
             has_img = True
-            if not (mts[i] in (int(MeshType.SPHERE), int(MeshType.PLANE),
-                               int(MeshType.BOX))
-                    and mats[i] == int(MatType.DIFF)
-                    and opts[i][0] and not opts[i][1]):
+            analytic = mts[i] in (int(MeshType.SPHERE), int(MeshType.PLANE),
+                                  int(MeshType.BOX))
+            diff_ok = (mats[i] == int(MatType.DIFF)
+                       and opts[i][0] and not opts[i][1])
+            # LIGHT rows (round 4): the emissive hit is *terminal* and
+            # linear in the texel, so it defers like a cubemap fetch —
+            # any color/emission blending allowed (raytracer.glsl:
+            # 2071-2090); NEE reads the untextured material on all paths
+            light_ok = mats[i] == int(MatType.LIGHT)
+            if not (analytic and (diff_ok or light_ok)):
                 return False
         else:
             if tt not in _TEX_KERNEL_OK:
@@ -2773,24 +2809,25 @@ def supported_imgtex(scene, cfg: RenderConfig) -> bool:
     )
 
 
-def _imgtex_kernel_body(meta, cfg: RenderConfig, slots, ft_ref, pp_ref,
+def _imgtex_kernel_body(meta, cfg: RenderConfig, slots, has_light,
+                        ft_ref, pp_ref,
                         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                         pix_ref, *out_refs):
     sv = _load_scene_vals(ft_ref, len(meta[0]))
     pass_u = pp_ref[0, 0].astype(jnp.uint32)
     samp_u = pp_ref[0, 1].astype(jnp.uint32)
     tex_acc_refs = out_refs[3:3 + 3 * slots]
-    tex_refs = out_refs[3 + 3 * slots:]
-    for r in tex_acc_refs:
-        r[...] = jnp.zeros_like(r[...])
-    for r in tex_refs:
+    tex_refs = out_refs[3 + 3 * slots:3 + 8 * slots]
+    texlight_refs = out_refs[3 + 8 * slots:] if has_light else None
+    for r in out_refs[3:]:
         r[...] = jnp.zeros_like(r[...])
     acc = _trace_block(
         meta, cfg, sv, pix_ref[:], pass_u, samp_u,
         (ox_ref[:], oy_ref[:], oz_ref[:]),
         (dx_ref[:], dy_ref[:], dz_ref[:]),
         unroll=cfg.max_bounces < cfg.megakernel_unroll_below,
-        tex_slots=slots, tex_refs=tex_refs, tex_acc_refs=tex_acc_refs)
+        tex_slots=slots, tex_refs=tex_refs, tex_acc_refs=tex_acc_refs,
+        texlight_refs=texlight_refs)
     out_refs[0][:] = acc[0]
     out_refs[1][:] = acc[1]
     out_refs[2][:] = acc[2]
@@ -2881,11 +2918,108 @@ def _imgtex_rho(scene, idx, pos, valid):
     return jnp.where(valid[..., None], c_true / c0, 1.0)
 
 
+def _imgtex_light_ce(scene, idx, pos, valid):
+    """True textured c*e for an exported emissive-hit record (image-
+    textured LIGHT rows, round 4): recompute UV from (mesh idx, hit pos)
+    exactly like _imgtex_rho, blend BOTH color and emission masks
+    (integrator.py:193-205 formulas), return c*e."""
+    from raytracer0_tpu.ops import textures as tex_ops
+    from raytracer0_tpu.ops import vecmath as vm
+
+    table = jnp.concatenate([
+        jnp.asarray(scene.mesh_type, jnp.float32)[:, None],   # 0
+        scene.pos,                                            # 1:4
+        scene.color,                                          # 4:7
+        scene.tex_cmask,                                      # 7:10
+        scene.opts[:, 0:1].astype(jnp.float32),               # 10
+        jnp.asarray(scene.tex_type, jnp.float32)[:, None],    # 11
+        scene.emission,                                       # 12:15
+        scene.tex_emask,                                      # 15:18
+        scene.opts[:, 1:2].astype(jnp.float32),               # 18
+        scene.joker[:, 0:1],                                  # 19
+    ], axis=1)
+    row = _onehot_rows(idx, table)
+    mesh_t = row[..., 0]
+    center = row[..., 1:4]
+    mat_c = row[..., 4:7]
+    cm = row[..., 7:10]
+    opt0 = row[..., 10]
+    tex_t = row[..., 11]
+    mat_e = row[..., 12:15]
+    em = row[..., 15:18]
+    opt1 = row[..., 18]
+    size = row[..., 19]
+
+    is_sphere = mesh_t == float(MeshType.SPHERE)
+    rho_l = vm.safe_length(pos)
+    phi = jnp.arcsin(jnp.clip(pos[..., 1] / rho_l, -1.0 + 1e-6, 1.0 - 1e-6))
+    theta = jnp.arctan2(pos[..., 2], pos[..., 0])
+    uv_sph = jnp.stack([phi / PI, theta / (2.0 * PI)], axis=-1)
+    # dominant-axis planar UV needs the normal — same recompute as
+    # _imgtex_rho (plane/box lights are legal scene rows)
+    is_plane = mesh_t == float(MeshType.PLANE)
+    n_sph = vm.normalize(pos - center)
+    n_pln = vm.normalize(center)
+    hp = pos - center
+    half = (size * 0.5)[..., None]
+    db = jnp.abs(hp) - half
+    sx = jnp.where((db[..., 0] >= db[..., 1]) & (db[..., 0] >= db[..., 2]),
+                   jnp.sign(hp[..., 0]), 0.0)
+    sy = jnp.where((db[..., 1] >= db[..., 2]) & (db[..., 1] >= db[..., 0]),
+                   jnp.sign(hp[..., 1]), 0.0)
+    sz = jnp.where((db[..., 2] >= db[..., 0]) & (db[..., 2] >= db[..., 1]),
+                   jnp.sign(hp[..., 2]), 0.0)
+    n_box = vm.normalize(jnp.stack([sx, sy, sz], axis=-1))
+    n = jnp.where(is_sphere[..., None], n_sph,
+        jnp.where(is_plane[..., None], n_pln, n_box))
+    na = jnp.abs(n)
+    x_dom = (na[..., 0] > na[..., 1]) & (na[..., 0] > na[..., 2])
+    y_dom = (na[..., 1] > na[..., 0]) & (na[..., 1] > na[..., 2])
+    uv_x = jnp.stack([-pos[..., 2], -pos[..., 1]], axis=-1)
+    uv_y = jnp.stack([pos[..., 0], pos[..., 2]], axis=-1)
+    uv_z = jnp.stack([pos[..., 0], -pos[..., 1]], axis=-1)
+    uv = jnp.where(is_sphere[..., None], uv_sph,
+         jnp.where(x_dom[..., None], uv_x,
+         jnp.where(y_dom[..., None], uv_y, uv_z)))
+
+    present = set(scene.tex_types_static)
+    texel = jnp.zeros(uv.shape[:-1] + (4,), jnp.float32)
+    for k in range(4):
+        if int(TexType.IMAGE0) + k in present:
+            tx = tex_ops.bilinear_wrap(scene.images[k], uv)
+            texel = jnp.where((tex_t == float(int(TexType.IMAGE0) + k))
+                              [..., None], tx, texel)
+
+    bc = (opt0 * texel[..., 3])[..., None]
+    be = (opt1 * texel[..., 3])[..., None]
+    c = jnp.maximum(mat_c + (texel[..., :3] * cm - mat_c) * bc, 0.001)
+    e = jnp.maximum(mat_e + (texel[..., :3] * em - mat_e) * be, 0.001)
+    return jnp.where(valid[..., None], c * e, 0.0)
+
+
+def _img_row_kinds(scene):
+    """(has_diff, has_light): which deferred image-texture record kinds
+    this scene needs (DIFF throughput groups / terminal emissive hits)."""
+    tts = scene.tex_types_static
+    opts = scene.opts_static
+    mats = scene.mat_types_static
+    has_diff = has_light = False
+    for i, tt in enumerate(tts):
+        if (int(TexType.IMAGE0) <= tt <= int(TexType.IMAGE3)
+                and (opts[i][0] or opts[i][1])):
+            if mats[i] == int(MatType.DIFF):
+                has_diff = True
+            elif mats[i] == int(MatType.LIGHT):
+                has_light = True
+    return has_diff, has_light
+
+
 def _imgtex_forward(scene, cfg: RenderConfig, ro, rd, pix, pass_idx,
                     sample_idx):
     h, w = pix.shape
     assert supports_shape(h, w), (h, w)
-    slots = min(cfg.max_diff_bounces, cfg.max_bounces)
+    has_diff, has_light = _img_row_kinds(scene)
+    slots = min(cfg.max_diff_bounces, cfg.max_bounces) if has_diff else 0
     meta = (scene.mesh_types_static, scene.mat_types_static,
             scene.lights_static, scene.sdf_shapes_static,
             scene.num_analytic, scene.tex_types_static, scene.opts_static,
@@ -2896,11 +3030,13 @@ def _imgtex_forward(scene, cfg: RenderConfig, ro, rd, pix, pass_idx,
 
     grid = (h // BLOCK_ROWS, w // BLOCK_COLS)
     row_spec = _row_spec()
-    kernel = functools.partial(_imgtex_kernel_body, meta, cfg, slots)
+    kernel = functools.partial(_imgtex_kernel_body, meta, cfg, slots,
+                               has_light)
     interpret = os.environ.get("RT0_PALLAS_INTERPRET") == "1"
     rec_shapes = ([jax.ShapeDtypeStruct((h, w), jnp.float32)] * 3
                   + [jax.ShapeDtypeStruct((h, w), jnp.int32)]
                   + [jax.ShapeDtypeStruct((h, w), jnp.float32)])
+    n_out = 3 + 3 * slots + 5 * slots + 8 * has_light
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -2912,9 +3048,10 @@ def _imgtex_forward(scene, cfg: RenderConfig, ro, rd, pix, pass_idx,
             row_spec, row_spec, row_spec,            # d
             row_spec,                                # pix
         ],
-        out_specs=[row_spec] * (3 + 3 * slots + 5 * slots),
+        out_specs=[row_spec] * n_out,
         out_shape=[jax.ShapeDtypeStruct((h, w), jnp.float32)] * (3 + 3 * slots)
-        + rec_shapes * slots,
+        + rec_shapes * slots
+        + [jax.ShapeDtypeStruct((h, w), jnp.float32)] * (8 * has_light),
     )(ft, pp, ro[..., 0], ro[..., 1], ro[..., 2],
       rd[..., 0], rd[..., 1], rd[..., 2], pix)
 
@@ -2922,19 +3059,40 @@ def _imgtex_forward(scene, cfg: RenderConfig, ro, rd, pix, pass_idx,
     # resolve ALL records' texel ratios in one batched _imgtex_rho call
     # (stacked [slots, H, W]): TPU gathers cost ~1 element/cycle, so 4
     # separate bilinear fetches were 4x the gather ops of one batched one
-    pos_all = jnp.stack([
-        jnp.stack(outs[3 + 3 * slots + 5 * g: 3 + 3 * slots + 5 * g + 3],
-                  axis=-1) for g in range(slots)])
-    idx_all = jnp.stack([outs[3 + 3 * slots + 5 * g + 3]
-                         for g in range(slots)])
-    valid_all = jnp.stack([outs[3 + 3 * slots + 5 * g + 4]
-                           for g in range(slots)]) > 0.5
-    rho_all = _imgtex_rho(scene, idx_all, pos_all, valid_all)
-    prod = jnp.ones((h, w, 3), jnp.float32)
-    for g in range(1, slots + 1):
-        grp = jnp.stack(outs[3 * g: 3 * g + 3], axis=-1)
-        prod = prod * rho_all[g - 1]
-        radiance = radiance + prod * grp
+    rho_cum = [jnp.ones((h, w, 3), jnp.float32)]
+    if slots:
+        pos_all = jnp.stack([
+            jnp.stack(outs[3 + 3 * slots + 5 * g: 3 + 3 * slots + 5 * g + 3],
+                      axis=-1) for g in range(slots)])
+        idx_all = jnp.stack([outs[3 + 3 * slots + 5 * g + 3]
+                             for g in range(slots)])
+        valid_all = jnp.stack([outs[3 + 3 * slots + 5 * g + 4]
+                               for g in range(slots)]) > 0.5
+        rho_all = _imgtex_rho(scene, idx_all, pos_all, valid_all)
+        prod = jnp.ones((h, w, 3), jnp.float32)
+        for g in range(1, slots + 1):
+            grp = jnp.stack(outs[3 * g: 3 * g + 3], axis=-1)
+            prod = prod * rho_all[g - 1]
+            rho_cum.append(prod)
+            radiance = radiance + prod * grp
+
+    if has_light:
+        # terminal emissive-hit records (image-textured LIGHT rows):
+        # contribution = weight * true c*e * (throughput-ratio product of
+        # the record's texture-vertex group)
+        lo = outs[3 + 8 * slots:]
+        wgt = jnp.stack(lo[0:3], axis=-1)
+        posl = jnp.stack(lo[3:6], axis=-1)
+        idxl = lo[6].astype(jnp.int32)
+        tag = lo[7]
+        validl = tag > 0.5
+        ce = _imgtex_light_ce(scene, idxl, posl, validl)
+        grp = jnp.clip(tag.astype(jnp.int32) - 1, 0, slots)
+        rho_sel = rho_cum[0]
+        for k in range(1, slots + 1):
+            rho_sel = jnp.where((grp == k)[..., None], rho_cum[k], rho_sel)
+        radiance = radiance + jnp.where(validl[..., None],
+                                        wgt * ce * rho_sel, 0.0)
 
     if cfg.use_spectral:
         from raytracer0_tpu.ops import spectral

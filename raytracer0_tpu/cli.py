@@ -30,6 +30,8 @@ def _build(args):
         overrides["use_mis"] = True
     if args.restir:
         overrides["use_restir"] = True
+    if getattr(args, "adhoc_motion", False):
+        overrides["restir_adhoc_motion"] = True
     if args.spectral:
         overrides["use_spectral"] = True
     if args.volumetrics:
@@ -235,6 +237,9 @@ def main(argv=None):
         sp.add_argument("--spp", type=int)
         sp.add_argument("--mis", action="store_true")
         sp.add_argument("--restir", action="store_true")
+        sp.add_argument("--adhoc-motion", action="store_true",
+                        help="reference's ad-hoc temporal reprojection "
+                             "offset instead of identity (PARITY.md #11)")
         sp.add_argument("--spectral", action="store_true")
         sp.add_argument("--volumetrics", action="store_true")
         sp.add_argument("--tex", nargs="+", metavar="PNG",

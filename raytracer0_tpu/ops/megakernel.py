@@ -1035,7 +1035,8 @@ _RES_WS, _RES_M, _RES_W, _RES_AGE, _RES_IDX = range(_RES_CH)
 
 
 def _build_restir_vertex(meta, cfg: RenderConfig, sv, g, pix, pass_u,
-                         samp_u, height, width, taps_ref, hist_ref):
+                         samp_u, height, width, taps_ref, hist_ref,
+                         row0=0):
     """In-kernel ReSTIR: the full per-vertex reservoir pipeline
     (candidate generation → temporal reuse → spatial reuse → finalize +
     shade, raytracer.glsl:1619-1801) fused into the bounce loop,
@@ -1109,10 +1110,12 @@ def _build_restir_vertex(meta, cfg: RenderConfig, sv, g, pix, pass_u,
     few_frames = pass_u < np.uint32(10)
     age_thr = 2.0 if animated else MAX_RESERVOIR_AGE * 0.8
 
-    # global pixel coordinates of this block (full-grid render only)
+    # global pixel coordinates of this block (`row0` offsets band-mode
+    # launches, where the grid covers rows [row0, row0+band) of a taller
+    # image — the taps/hist inputs are pre-sliced to the band)
     bi = pl.program_id(0)
     bj = pl.program_id(1)
-    rows = (bi * BLOCK_ROWS
+    rows = (row0 + bi * BLOCK_ROWS
             + jax.lax.broadcasted_iota(jnp.int32,
                                        (BLOCK_ROWS, BLOCK_COLS), 0))
     cols = (bj * BLOCK_COLS
@@ -1533,7 +1536,8 @@ def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
         restir_vertex = _build_restir_vertex(
             meta, cfg, sv, g, pix, pass_u, samp_u,
             restir_fused["height"], restir_fused["width"],
-            restir_fused["taps_ref"], restir_fused["hist_ref"])
+            restir_fused["taps_ref"], restir_fused["hist_ref"],
+            restir_fused.get("row0", 0))
 
     def bounce(depth_u, st):
         """One bounce on the explicit lane-state carry.  `depth_u` is a
@@ -2484,13 +2488,14 @@ def _fused_restir_kernel_body(meta, cfg: RenderConfig, hw, ft_ref, pp_ref,
     sv = _load_scene_vals(ft_ref, len(meta[0]))
     pass_u = pp_ref[0, 0].astype(jnp.uint32)
     samp_u = pp_ref[0, 1].astype(jnp.uint32)
+    row0 = pp_ref[0, 2]
     acc, res = _trace_block(
         meta, cfg, sv, pix_ref[:], pass_u, samp_u,
         (ox_ref[:], oy_ref[:], oz_ref[:]),
         (dx_ref[:], dy_ref[:], dz_ref[:]),
         unroll=cfg.max_bounces < cfg.megakernel_unroll_below,
         restir_fused=dict(taps_ref=taps_ref, hist_ref=hist_ref,
-                          height=hw[0], width=hw[1]))
+                          height=hw[0], width=hw[1], row0=row0))
     r_ref[:] = acc[0]
     g_ref[:] = acc[1]
     b_ref[:] = acc[2]
@@ -2522,28 +2527,64 @@ def trace_forward_restir_fused(scene, cfg: RenderConfig, ro, rd, pix,
     """
     h, w = pix.shape
     assert supports_shape(h, w), (h, w)
+    taps = roll_taps(back5)
+    return _fused_restir_call(scene, cfg, ro, rd, pix, pass_idx,
+                              sample_idx, taps, hist5,
+                              jnp.int32(0), h, w)
+
+
+def roll_taps(back5):
+    """Pre-roll the packed back-reservoir grid by the 8 static Poisson
+    offsets: tap i's value for pixel (r, c) sits at [i, :, r, c]."""
     from raytracer0_tpu.ops.restir import POISSON_DISK, SPATIAL_RADIUS
 
-    meta = (scene.mesh_types_static, scene.mat_types_static,
-            scene.lights_static, scene.sdf_shapes_static,
-            scene.num_analytic, scene.tex_types_static, scene.opts_static,
-            int(scene.cubemap.shape[1])
-            if scene.cubemap_is_procedural else 0)
-    ft = _scene_table(scene)
-    pp = jnp.asarray([[pass_idx, sample_idx]], jnp.int32).reshape(1, 2)
-
-    taps = jnp.stack([
+    return jnp.stack([
         jnp.roll(back5,
                  (-int(round(dy * SPATIAL_RADIUS)),
                   -int(round(dx * SPATIAL_RADIUS))),
                  axis=(1, 2))
         for dx, dy in POISSON_DISK])                      # [8, 5, H, W]
 
+
+def trace_forward_restir_fused_band(scene, cfg: RenderConfig, ro, rd, pix,
+                                    pass_idx, sample_idx, taps_full,
+                                    hist5_full, row0, full_height):
+    """Band-mode fused ReSTIR (round 4): render rows [row0, row0+band)
+    of a `full_height`-tall image with the same fused kernel — the
+    full-resolution pre-rolled taps and history are dynamically sliced
+    to the band, and the kernel offsets its global row coordinates by
+    `row0`.  Powers ReSTIR tile rendering at fused-kernel speed
+    (render/tiles.py; the reference's tile mode keeps its ReSTIR buffers
+    full-resolution the same way, index.js:762-793)."""
+    band, w = pix.shape
+    assert supports_shape(band, w), (band, w)
+    taps = jax.lax.dynamic_slice_in_dim(taps_full, row0, band, axis=2)
+    hist = jax.lax.dynamic_slice_in_dim(hist5_full, row0, band, axis=2)
+    return _fused_restir_call(scene, cfg, ro, rd, pix, pass_idx,
+                              sample_idx, taps, hist,
+                              jnp.asarray(row0, jnp.int32),
+                              full_height, w)
+
+
+def _fused_restir_call(scene, cfg: RenderConfig, ro, rd, pix, pass_idx,
+                       sample_idx, taps, hist5, row0, full_h, full_w):
+    h, w = pix.shape
+    meta = (scene.mesh_types_static, scene.mat_types_static,
+            scene.lights_static, scene.sdf_shapes_static,
+            scene.num_analytic, scene.tex_types_static, scene.opts_static,
+            int(scene.cubemap.shape[1])
+            if scene.cubemap_is_procedural else 0)
+    ft = _scene_table(scene)
+    pp = jnp.stack([jnp.asarray(pass_idx, jnp.int32),
+                    jnp.asarray(sample_idx, jnp.int32),
+                    jnp.asarray(row0, jnp.int32)]).reshape(1, 3)
+
     grid = (h // BLOCK_ROWS, w // BLOCK_COLS)
     row_spec = _row_spec()
-    kernel = functools.partial(_fused_restir_kernel_body, meta, cfg, (h, w))
+    kernel = functools.partial(_fused_restir_kernel_body, meta, cfg,
+                               (full_h, full_w))
     interpret = os.environ.get("RT0_PALLAS_INTERPRET") == "1"
-    n_taps = len(POISSON_DISK)
+    n_taps = taps.shape[0]
     r, g, b, res5 = pl.pallas_call(
         kernel,
         grid=grid,

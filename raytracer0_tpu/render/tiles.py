@@ -80,6 +80,68 @@ def _slice_band(tree, r0: int, rows: int, pad: int, height: int):
     return out
 
 
+def _use_fused_bands(scene, cfg, width: int, band_rows: int,
+                     height: int) -> bool:
+    """Fused-kernel band dispatch: every band runs the single-launch
+    ReSTIR megakernel (trace_forward_restir_fused_band) instead of the
+    XLA wavefront — the full-res pre-rolled taps make cross-band spatial
+    taps value-exact.  RT0_FORCE_FUSED_TILES=1 forces it for
+    interpret-mode tests."""
+    import os
+
+    from raytracer0_tpu.ops import megakernel
+
+    if not (cfg.use_megakernel
+            and megakernel.supported_restir_fused(scene, cfg)
+            and megakernel.supports_shape(band_rows, width)
+            and height % band_rows == 0):
+        return False
+    if os.environ.get("RT0_FORCE_FUSED_TILES") == "1":
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
+@jax.jit
+def _fused_prep(back, hist1, hist2):
+    """Per-pass fused-band prep: pack the full-res reservoir ring and
+    pre-roll the spatial taps once (every band slices from these)."""
+    from raytracer0_tpu.ops import megakernel
+    from raytracer0_tpu.ops import restir as restir_ops
+
+    back5 = restir_ops._pack5(back)
+    hist5 = jnp.stack([restir_ops._pack5(hist1),
+                       restir_ops._pack5(hist2)])
+    return megakernel.roll_taps(back5), hist5
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "rows", "width",
+                                             "height"))
+def _restir_band_fused(scene_frame, camera, taps_full, hist5_full, row0,
+                       pass_idx, *, cfg, rows, width, height):
+    """One fused-kernel band of a ReSTIR pass."""
+    from raytracer0_tpu.ops import megakernel
+
+    pix = rng.pixel_ids(rows, width, row0=row0)
+    total = jnp.zeros((rows, width, 3), jnp.float32)
+    res5 = None
+    for s in range(cfg.samples_per_pass):
+        ro, rd = generate_rays(camera, rows, width, pass_idx, sample_idx=s,
+                               row0=row0, full_height=height)
+        rad, res5 = megakernel.trace_forward_restir_fused_band(
+            scene_frame, cfg, ro, rd, pix, pass_idx, s, taps_full,
+            hist5_full, row0, height)
+        if cfg.use_spectral:
+            from raytracer0_tpu.ops import spectral
+            wl = spectral.sample_wavelength(
+                rng.uniform(pix, pass_idx, s, rng.Stream.WAVELENGTH))
+            rad = rad * spectral.wavelength_to_rgb(wl)
+        total = total + rad
+    return total / cfg.samples_per_pass, res5
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "rows", "width",
                                              "height", "pad"))
 def _restir_band(scene_frame, camera, back_b, hist1_b, hist2_b, row0,
@@ -122,6 +184,7 @@ def _render_tiled_restir(scene, camera, cfg, height, width, passes,
     out = np.zeros((height, width, 3), np.float32)
     n_bands = (height + band_rows - 1) // band_rows
     state = RenderState.create(height, width)
+    fused = _use_fused_bands(scene, cfg, width, band_rows, height)
 
     for p in range(passes):
         scene_frame = scene_mod.animate_positions(scene, time_s,
@@ -129,6 +192,23 @@ def _render_tiled_restir(scene, camera, cfg, height, width, passes,
         back = restir_ops._res_tree(state.restir_back)
         hist1 = restir_ops._res_tree(state.restir_hist1)
         hist2 = restir_ops._res_tree(state.restir_hist2)
+        if fused:
+            taps_full, hist5_full = _fused_prep(back, hist1, hist2)
+            res5_bands = []
+            for b in range(n_bands):
+                r0 = b * band_rows
+                band_rad, res5 = _restir_band_fused(
+                    scene_frame, camera, taps_full, hist5_full,
+                    jnp.int32(r0), jnp.uint32(p),
+                    cfg=cfg, rows=band_rows, width=width, height=height)
+                out[r0:r0 + band_rows] += np.asarray(band_rad)
+                res5_bands.append(res5)
+                if progress is not None:
+                    progress(p, b, n_bands)
+            new_back = restir_ops._unpack5(
+                scene_frame, jnp.concatenate(res5_bands, axis=1))
+            state = state.rotate_reservoirs(new_back)
+            continue
         new_back_rows = []
         for b in range(n_bands):
             r0 = b * band_rows

@@ -352,6 +352,31 @@ def test_fused_path_matches_wavefront_default_tier():
                                atol=1e-5)
 
 
+def test_fused_path_matches_wavefront_volumetrics():
+    """Fused in-kernel ReSTIR with participating media: the in-kernel
+    reservoir *shade* applies Beer-Lambert fog to the shadow ray
+    (restir._shade_selected, raytracer.glsl:1198-1202) and the medium
+    in-scatter NEE runs independently — both must match the wavefront."""
+    import os
+
+    scene, cam, cfg = restir_demo()
+    cfg = cfg.replace(max_bounces=2, samples_per_pass=1, max_diff_bounces=2,
+                      restir_samples=4, marching_steps=16,
+                      use_volumetrics=True, max_scattering_events=2)
+    H, W = 8, 128
+
+    st = RenderState.create(H, W)
+    ref, _ = restir.render_sample(scene, cfg, cam, st, H, W, 0)
+    os.environ["RT0_PALLAS_INTERPRET"] = "1"
+    try:
+        fast, _ = restir.render_sample_fused(scene, cfg, cam, st, H, W, 0)
+    finally:
+        del os.environ["RT0_PALLAS_INTERPRET"]
+    err = np.abs(np.asarray(ref) - np.asarray(fast))
+    assert err.max() < 5e-3, err.max()
+    assert np.median(err) < 1e-6
+
+
 @pytest.mark.slow
 def test_fused_path_matches_wavefront_multiframe():
     """Fused path across 3 reservoir rotations (temporal reuse live from

@@ -72,6 +72,45 @@ def test_tiled_restir_matches_monolithic():
     np.testing.assert_allclose(banded, mono, atol=1e-5)
 
 
+def test_tiled_restir_fused_bands_match_monolithic_fused():
+    """Fused-kernel band rendering (round 4): bands run the single-launch
+    ReSTIR megakernel on slices of the full-res pre-rolled taps —
+    including spatial taps that cross band boundaries.  The band kernel
+    is a separately compiled program, so agreement is to f32
+    reassociation at shadow-threshold edges (the standard fused-parity
+    tolerance), not bit-exact."""
+    import os
+
+    from raytracer0_tpu.ops import restir as restir_ops
+    from raytracer0_tpu.render.state import RenderState
+
+    scene, cam, cfg = restir_demo()
+    cfg = cfg.replace(max_bounces=2, restir_samples=4, marching_steps=16)
+    H, W, PASSES = 16, 128, 3
+
+    os.environ["RT0_PALLAS_INTERPRET"] = "1"
+    try:
+        st = RenderState.create(H, W)
+        mono = np.zeros((H, W, 3), np.float32)
+        for p in range(PASSES):
+            rad, nb = restir_ops.render_sample_fused(scene, cfg, cam, st,
+                                                     H, W, p)
+            st = st.rotate_reservoirs(nb)
+            mono += np.asarray(rad)
+        mono /= PASSES
+
+        os.environ["RT0_FORCE_FUSED_TILES"] = "1"
+        banded = tiles.render_tiled(scene, cam, cfg, H, W, PASSES,
+                                    band_rows=8)
+    finally:
+        del os.environ["RT0_PALLAS_INTERPRET"]
+        del os.environ["RT0_FORCE_FUSED_TILES"]
+    err = np.abs(banded - mono)
+    assert err.max() < 5e-3, err.max()
+    assert np.median(err) < 1e-6
+    assert (err < 1e-6).mean() > 0.999
+
+
 def test_debug_grid_shapes():
     scene, cam, cfg = restir_demo()
     cfg = cfg.replace(max_bounces=2, restir_samples=4, marching_steps=8)

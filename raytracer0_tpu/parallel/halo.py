@@ -100,6 +100,96 @@ def _sharded_pass(scene, camera, back, hist1, hist2, pass_idx, time_s, *,
     return _pass(scene_frame, camera, back, hist1, hist2)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "mesh", "height", "width"))
+def _sharded_fused_pass(scene, camera, back, hist1, hist2, pass_idx,
+                        time_s, *, cfg, mesh, height, width):
+    """jit-cached body of `sharded_restir_fused_render_pass`: every
+    shard runs the fused ReSTIR megakernel on its row band.  The
+    spatial taps are pre-rolled on the shard's halo-padded packed
+    reservoir grid (`exchange_halo_rows` over ICI) and sliced back to
+    the band — exactly the values the single-chip pre-roll produces
+    wherever taps stay within the 16-row halo (always: the Poisson
+    radius equals HALO).  Temporal history is identity-reprojected, so
+    it needs no halo at all."""
+    from raytracer0_tpu.ops import megakernel
+
+    n = mesh.devices.size
+    rows_per = height // n
+    scene_frame = scene_mod.animate_positions(scene, time_s,
+                                              int(cfg.render_mode))
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False,
+    )
+    def _pass(scene_f, camera, back, hist1, hist2):
+        shard = jax.lax.axis_index(AXIS)
+        row0 = (shard * rows_per).astype(jnp.int32)
+
+        back5 = restir_ops._pack5(back)               # [5, rows, W]
+        back5_p = jnp.stack([exchange_halo_rows(back5[c], HALO)
+                             for c in range(back5.shape[0])])
+        taps = megakernel.roll_taps(back5_p)[:, :, HALO:HALO + rows_per]
+        hist5 = jnp.stack([restir_ops._pack5(hist1),
+                           restir_ops._pack5(hist2)])  # [2, 5, rows, W]
+
+        pix = rng.pixel_ids(rows_per, width, row0=row0)
+        total = jnp.zeros((rows_per, width, 3), jnp.float32)
+        res5 = None
+        for s in range(cfg.samples_per_pass):
+            ro, rd = generate_rays(camera, rows_per, width, pass_idx,
+                                   sample_idx=s, row0=row0,
+                                   full_height=height)
+            rad, res5 = megakernel._fused_restir_call(
+                scene_f, cfg, ro, rd, pix, pass_idx, s, taps, hist5,
+                row0, height, width)
+            if cfg.use_spectral:
+                from raytracer0_tpu.ops import spectral
+                wl = spectral.sample_wavelength(
+                    rng.uniform(pix, pass_idx, s, rng.Stream.WAVELENGTH))
+                rad = rad * spectral.wavelength_to_rgb(wl)
+            total = total + rad
+        # [5, rows, W] -> rows-major for the P(AXIS) out spec
+        return (total / cfg.samples_per_pass,
+                jnp.moveaxis(res5, 1, 0))
+
+    rad, res5_rows = _pass(scene_frame, camera, back, hist1, hist2)
+    return rad, jnp.moveaxis(res5_rows, 0, 1), scene_frame
+
+
+def sharded_restir_fused_render_pass(scene, camera, cfg, mesh, state,
+                                     height, width, pass_idx=0,
+                                     time_s=0.0):
+    """Multi-chip ReSTIR on the fused megakernel (round 4): one kernel
+    launch per shard per pass, reservoir-tap halos exchanged over ICI.
+    Same (radiance, new_back) contract as `sharded_restir_render_pass`,
+    which remains the XLA-wavefront fallback (and the semantics oracle —
+    the fused kernel requires `megakernel.supported_restir_fused`)."""
+    n = mesh.devices.size
+    if height % n:
+        raise ValueError(f"height {height} not divisible by {n}")
+    rows_per = height // n
+    if rows_per < HALO and n > 1:
+        raise ValueError(f"rows/shard {rows_per} < halo {HALO}")
+    from raytracer0_tpu.ops import megakernel
+    if not (megakernel.supported_restir_fused(scene, cfg)
+            and megakernel.supports_shape(rows_per, width)):
+        raise ValueError("scene/config not supported by the fused ReSTIR "
+                         "kernel; use sharded_restir_render_pass")
+
+    back = restir_ops._res_tree(state.restir_back)
+    hist1 = restir_ops._res_tree(state.restir_hist1)
+    hist2 = restir_ops._res_tree(state.restir_hist2)
+    radiance, res5, scene_frame = _sharded_fused_pass(
+        scene, camera, back, hist1, hist2,
+        jnp.uint32(pass_idx), jnp.float32(time_s),
+        cfg=cfg, mesh=mesh, height=height, width=width)
+    return radiance, restir_ops._unpack5(scene_frame, res5)
+
+
 def make_restir_train_step(cfg, mesh, height: int, width: int,
                            param_labels=("color", "emission", "joker",
                                          "pos", "ior")):

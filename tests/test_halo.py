@@ -126,6 +126,50 @@ def test_sharded_restir_stress_many_lights():
     assert float(jnp.mean(single[1].restir_back.m)) > 0.5
 
 
+def test_sharded_fused_restir_matches_monolithic_fused():
+    """Multi-chip fused ReSTIR (round 4): every shard launches the fused
+    megakernel on its band with tap halos exchanged over ICI — must
+    match the monolithic fused render across reservoir rotations to the
+    standard f32-reassociation tolerance (separately compiled kernels),
+    including spatial taps that cross shard boundaries."""
+    import os
+
+    scene, cam, cfg = restir_demo()
+    cfg = cfg.replace(max_bounces=2, restir_samples=4, marching_steps=16)
+    H, W, FRAMES = 32, 128, 3
+
+    os.environ["RT0_PALLAS_INTERPRET"] = "1"
+    try:
+        st = RenderState.create(H, W)
+        mono = []
+        for p in range(FRAMES):
+            rad, nb = restir_ops.render_sample_fused(scene, cfg, cam, st,
+                                                     H, W, p)
+            st = st.rotate_reservoirs(nb)
+            mono.append(np.asarray(rad))
+
+        mesh = sharding.make_tile_mesh(2)
+        st_m = RenderState.create(H, W)
+        shard_imgs = []
+        for p in range(FRAMES):
+            rad, nb = halo.sharded_restir_fused_render_pass(
+                scene, cam, cfg, mesh, st_m, H, W, p)
+            st_m = st_m.rotate_reservoirs(nb)
+            shard_imgs.append(np.asarray(rad))
+    finally:
+        del os.environ["RT0_PALLAS_INTERPRET"]
+
+    for a, b in zip(mono, shard_imgs):
+        err = np.abs(a - b)
+        assert err.max() < 5e-3, err.max()
+        assert np.median(err) < 1e-6
+        assert (err < 1e-6).mean() > 0.999
+    # reservoir state agrees too (indices may differ at threshold edges)
+    li_a = np.asarray(st.restir_back.light_index)
+    li_b = np.asarray(st_m.restir_back.light_index)
+    assert (li_a == li_b).mean() > 0.99
+
+
 def test_restir_train_step_grads_match_single_device():
     """Differentiable ReSTIR composes with sharding (VERDICT r3 weak #4 /
     next #4i): `make_restir_train_step` — loss + psum'd parameter grads

@@ -23,9 +23,14 @@ the SDF shape library, DIFF/SPEC/REFR/COAT, NEE + MIS, procedural sky,
 hero-wavelength spectral transport (Cauchy dispersion in-kernel, CMF
 RGB conversion outside), and homogeneous participating media (free-path
 sampling, HG in-scatter NEE, fog-attenuated shadow rays) — i.e.
-BASELINE configs 1-3 and 5.  Textures/cubemap/ReSTIR take the general
-XLA path.  RNG is the same counter hash, so these kernels are *bit-
-compatible* with `integrator.trace` and validated against it per-pixel.
+BASELINE configs 1-3 and 5.  ReSTIR runs *fused* (round 4,
+`trace_forward_restir_fused`): all four reservoir phases + reservoir
+shading inside the bounce loop with a 5-channel state export —
+full-grid, row-band (tile mode), and per-shard (multi-chip) launches.
+Image textures and photographic cubemaps run as split kernels with
+deferred-record resolution.  RNG is the same counter hash, so these
+kernels are *bit-compatible* with `integrator.trace` and validated
+against it per-pixel.
 
 Gradients: the backward pass is its own Pallas kernel.  The bounce loop
 is a pure function of (scene table, primary ray) per block, so the

@@ -21,6 +21,14 @@ the [H, W] pixel grid:
 Differentiable-state treatment per SURVEY.md §7.1-8: the discrete
 selection (which light a reservoir holds) is detached; carried weights,
 colors and the final shading are differentiable.
+
+Execution tiers (fastest first, auto-dispatched by `render_pass`):
+`render_sample_fused` — the whole pipeline inside one Pallas launch
+(megakernel.trace_forward_restir_fused; requires identity temporal
+reprojection, the default); `render_sample_fast` — G-buffer kernel +
+XLA phases + cast_rays (serves `restir_adhoc_motion`); `render_sample`
+— the pure-XLA wavefront, which is the semantics oracle for both and
+the differentiable/training path.
 """
 
 from __future__ import annotations

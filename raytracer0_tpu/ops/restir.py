@@ -221,6 +221,55 @@ def _default_cast(scene, cfg, sdf_march):
     return cast
 
 
+def grad_safe_cast_fn(scene_frame, cfg, height, width):
+    """Pallas `cast_rays` for the DIFFERENTIABLE ReSTIR path, or None.
+
+    The shadow/visibility casts' outputs are gradient-dead when
+    volumetrics is off: `t` and `missed` feed only comparisons/booleans
+    (`is_visible`; `_shade_selected`'s hit test) and `idx` is integer —
+    every differentiable term (light tables, target weights, shading
+    colors) is a table lookup *outside* the cast (raytracer.glsl:
+    1389-1414 vs 1174-1230).  Wrapping the kernel's inputs in
+    stop_gradient is therefore **exact**: reverse-mode AD never needs a
+    VJP for the call, and the two per-diffuse-vertex occlusion sweeps
+    run at kernel speed in both the fwd pass and the remat recompute of
+    the bwd sweep.
+
+    Measured effect (experiments/exp_grad_cast.py, v5e 512²,
+    restir_demo): step time UNCHANGED (179→183 ms fwd+bwd, within
+    noise — the differentiable pass is dominated by the reservoir-phase
+    math and the path-trace AD, not the occlusion casts), gradients
+    bit-identical (max rel err 0.0), compile time HALVED (77→34 s).
+    Kept for the compile-time win and the smaller XLA graph.
+
+    With volumetrics the Beer-Lambert factor exp(-sigma_t*t) carries a
+    real geometry gradient through `t`, so the XLA cast stays (None).
+    Also None off-TPU or when the kernel can't serve the scene — the
+    caller falls back to `_default_cast` unchanged."""
+    import os as _os
+
+    from raytracer0_tpu.ops import megakernel
+    if _os.environ.get("RT0_NO_GRAD_CAST") == "1":  # A/B hook
+        return None
+    if cfg.use_volumetrics or not cfg.use_megakernel:
+        return None
+    if not (megakernel.supported_restir(scene_frame, cfg)
+            and megakernel.supports_shape(height, width)):
+        return None
+    try:
+        if jax.default_backend() != "tpu":
+            return None
+    except RuntimeError:
+        return None
+    sg = jax.lax.stop_gradient
+    frozen = sg(scene_frame)
+
+    def cast(o, d):
+        return megakernel.cast_rays(frozen, cfg, sg(o), sg(d))
+
+    return cast
+
+
 def is_visible(scene, cfg, from_pos, to_pos, sdf_march=None, cast_fn=None):
     """Shadow-ray visibility (raytracer.glsl:1389-1414): occluders that are
     themselves lights don't block."""
@@ -328,17 +377,18 @@ def _shade_selected(scene, cfg, slot_map, x, nl, pix, pass_idx, sample_idx,
     return jnp.where(hit_is_light[..., None], contrib, 0.0)
 
 
-def make_sampler(state, height, width, sdf_march, time_s=0.0):
+def make_sampler(state, height, width, sdf_march, time_s=0.0,
+                 cast_fn=None):
     """Build the `restir_sampler` hook for `integrator.trace`, closed over
     the frame's history state (`RenderState.restir_*`)."""
     back = _res_tree(state.restir_back)
     hist = [_res_tree(state.restir_hist1), _res_tree(state.restir_hist2)]
     return make_sampler_from_trees(back, hist, height, width, sdf_march,
-                                   time_s)
+                                   time_s, cast_fn=cast_fn)
 
 
 def make_sampler_from_trees(back, hist, height, width, sdf_march,
-                            time_s=0.0, row0=0, pad=0):
+                            time_s=0.0, row0=0, pad=0, cast_fn=None):
     """Sampler over explicit reservoir trees.
 
     `height`/`width` are the *global* image dims.  For tile sharding the
@@ -352,7 +402,8 @@ def make_sampler_from_trees(back, hist, height, width, sdf_march,
         out, res = reservoir_direct(
             scene, cfg, back, hist, hit.pos, nl, hit.idx, pix,
             pass_idx, sample_idx, depth, height=height, width=width,
-            row0=row0, pad=pad, time_s=time_s, sdf_march=sdf_march)
+            row0=row0, pad=pad, time_s=time_s, sdf_march=sdf_march,
+            cast_fn=cast_fn)
         return out * mask, res
 
     return sampler
@@ -576,7 +627,11 @@ def render_sample(scene, cfg, camera, state, height, width, pass_idx,
     scene_frame = scene_mod.animate_positions(scene, time_s, int(cfg.render_mode))
     sdf_march = _get_sdf_march(scene_frame)
     pix = rng.pixel_ids(height, width)
-    sampler = make_sampler(state, height, width, sdf_march, time_s)
+    # gradient-dead occlusion sweeps run on the Pallas cast kernel when
+    # the scene/backend allow it (exactness argument: grad_safe_cast_fn)
+    sampler = make_sampler(state, height, width, sdf_march, time_s,
+                           cast_fn=grad_safe_cast_fn(scene_frame, cfg,
+                                                     height, width))
 
     total = jnp.zeros((height, width, 3), jnp.float32)
     res_out = None

@@ -83,7 +83,9 @@ def _sharded_pass(scene, camera, back, hist1, hist2, pass_idx, time_s, *,
 
         sampler = restir_ops.make_sampler_from_trees(
             back_p, hist_p, height, width, sdf_march, time_s,
-            row0=row0, pad=HALO)
+            row0=row0, pad=HALO,
+            cast_fn=restir_ops.grad_safe_cast_fn(scene, cfg, rows_per,
+                                                 width))
 
         pix = rng.pixel_ids(rows_per, width, row0=row0)
         total = jnp.zeros((rows_per, width, 3), jnp.float32)
@@ -224,9 +226,15 @@ def make_restir_train_step(cfg, mesh, height: int, width: int,
                       pass_idx, sdf_march):
         back_p = _pad_tree(back, HALO)
         hist_p = [_pad_tree(hist1, HALO), _pad_tree(hist2, HALO)]
+        # per-shard Pallas occlusion casts (gradient-exact: the casts'
+        # outputs are gradient-dead without volumetrics — see
+        # restir.grad_safe_cast_fn); None on CPU meshes or when the
+        # band shape/scene is outside kernel support
         sampler = restir_ops.make_sampler_from_trees(
             back_p, hist_p, height, width, sdf_march, 0.0,
-            row0=row0, pad=HALO)
+            row0=row0, pad=HALO,
+            cast_fn=restir_ops.grad_safe_cast_fn(scene_frame, cfg,
+                                                 rows_per, width))
         pix = rng.pixel_ids(rows_per, width, row0=row0)
         total = jnp.zeros((rows_per, width, 3), jnp.float32)
         res_out = None

@@ -532,3 +532,30 @@ def test_candidates_only_matches_mean_light_nee():
     assert direct_nee > 1e-4
     ratio = direct_restir / (direct_nee / L)
     assert 0.85 < ratio < 1.15, ratio
+
+
+def test_grad_safe_cast_gating():
+    """`grad_safe_cast_fn` must be inert exactly where its exactness
+    argument fails: CPU backends (no kernel), volumetric configs (the
+    Beer-Lambert factor carries a real gradient through the cast's t),
+    unsupported shapes, and the RT0_NO_GRAD_CAST A/B hook.  The
+    gradient-equality half of the contract is measured on hardware
+    (experiments/exp_grad_cast.py: max rel err 0.0)."""
+    import os
+
+    from raytracer0_tpu.ops import restir as restir_ops
+
+    scene, _, cfg = restir_demo()
+    # CPU backend (the test platform): always None
+    assert restir_ops.grad_safe_cast_fn(scene, cfg, 512, 512) is None
+    # volumetrics: None regardless of backend
+    assert restir_ops.grad_safe_cast_fn(
+        scene, cfg.replace(use_volumetrics=True), 512, 512) is None
+    # unsupported (non-block-aligned) shape: None
+    assert restir_ops.grad_safe_cast_fn(scene, cfg, 33, 100) is None
+    # A/B hook: None
+    os.environ["RT0_NO_GRAD_CAST"] = "1"
+    try:
+        assert restir_ops.grad_safe_cast_fn(scene, cfg, 512, 512) is None
+    finally:
+        del os.environ["RT0_NO_GRAD_CAST"]

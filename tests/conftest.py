@@ -26,7 +26,11 @@ jax.config.update("jax_platforms", "cpu")
 _CACHE = os.environ.get("RT0_JAX_CACHE",
                         os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# 0.1 (not the 1.0 default elsewhere): the suite is made of hundreds of
+# 0.2-0.9 s compiles that dominate its 45-55 min wall time on this
+# 2-core host — caching them is the whole point here, and the cache-dir
+# size cost is a few MB.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 
 def pytest_collection_modifyitems(config, items):

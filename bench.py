@@ -254,24 +254,33 @@ def bench_restir():
     s2, cam2, cfg2 = restir_stress()
     stress_ms, _ = _renderer_ms(s2, cam2, cfg2, iters=10)
 
-    # differentiable ReSTIR (XLA wavefront + reservoir state): fwd+bwd
+    # differentiable ReSTIR: fwd+bwd through the FUSED kernel + its
+    # Pallas adjoint (round 5, VERDICT r4 next #1 — production training
+    # path), with the XLA-wavefront route timed alongside as its A/B
+    # baseline
     st_g = RenderState.create(H, W)
 
-    def loss(emission, pass_idx):
-        s = scene.replace(emission=emission)
-        rad, _ = restir_ops.render_sample(s, cfg, camera, st_g, H, W,
-                                          pass_idx)
-        return jnp.sum(rad)
+    def _grad_ms(render_fn, iters=5):
+        def loss(emission, pass_idx):
+            s = scene.replace(emission=emission)
+            rad, _ = render_fn(s, cfg, camera, st_g, H, W, pass_idx)
+            return jnp.sum(rad)
 
-    gstep = _jax.jit(_jax.grad(loss))
-    sync(_one_leaf(gstep(scene.emission, jnp.uint32(0))))
-    t0 = time.perf_counter()
-    out = None
-    for p in range(5):
-        out = gstep(scene.emission, jnp.uint32(p))
-    sync(_one_leaf(out))
-    fwd_bwd_ms = (time.perf_counter() - t0) / 5
-    return ms, compile_s, split_ms, stress_ms, fwd_bwd_ms
+        gstep = _jax.jit(_jax.grad(loss))
+        t0 = time.perf_counter()
+        sync(_one_leaf(gstep(scene.emission, jnp.uint32(0))))
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = None
+        for p in range(iters):
+            out = gstep(scene.emission, jnp.uint32(p))
+        sync(_one_leaf(out))
+        return (time.perf_counter() - t0) / iters, compile_s
+
+    fwd_bwd_ms, fb_compile = _grad_ms(restir_ops.render_sample_fused)
+    fwd_bwd_xla_ms, _ = _grad_ms(restir_ops.render_sample)
+    return (ms, compile_s, split_ms, stress_ms, fwd_bwd_ms,
+            fwd_bwd_xla_ms, fb_compile)
 
 
 def bench_animated_restir():
@@ -361,7 +370,8 @@ def bench_config5():
 def main():
     dt, dt_fwd, compile_s, sol, cfg = bench_cornell()
     (restir_ms, restir_compile, restir_split_ms, stress_ms,
-     restir_fwd_bwd_ms) = bench_restir()
+     restir_fwd_bwd_ms, restir_fwd_bwd_xla_ms,
+     restir_fwd_bwd_compile) = bench_restir()
     anim_ms, anim_compile = bench_animated_restir()
     tex_ms, env_ms, tex_xla_ms, env_xla_ms = bench_deferred_textures()
     c5_ms, c5_compile = bench_config5()
@@ -390,6 +400,8 @@ def main():
             "restir_ms_per_pass": round(restir_ms * 1e3, 2),
             "restir_split_ms_per_pass": round(restir_split_ms * 1e3, 2),
             "restir_fwd_bwd_ms": round(restir_fwd_bwd_ms * 1e3, 2),
+            "restir_fwd_bwd_xla_ms": round(restir_fwd_bwd_xla_ms * 1e3, 2),
+            "restir_fwd_bwd_compile_s": round(restir_fwd_bwd_compile, 1),
             "restir_compile_s": round(restir_compile, 1),
             "restir_stress_ms_per_pass": round(stress_ms * 1e3, 2),
             "restir_stress_lights": 41,

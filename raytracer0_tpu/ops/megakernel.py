@@ -454,8 +454,15 @@ def _textures_supported(scene) -> bool:
     return True
 
 
-def _geometry_supported(scene, check_textures=True) -> bool:
-    """Scene-side support: primitive set, SDF shapes, light slots."""
+def _geometry_supported(scene, check_textures=True,
+                        sphere_lights_only=False) -> bool:
+    """Scene-side support: primitive set, SDF shapes, light slots.
+
+    Plain-path NEE covers all three reference light samplers in-kernel
+    (sphere cone / SDF bounding-ellipsoid point / directional occlusion,
+    raytracer.glsl:1182-1227 — round 5, VERDICT r4 next #4).  The ReSTIR
+    kernels' target function and reservoir shading remain analytic-
+    sphere-only, so they pass `sphere_lights_only=True`."""
     na = scene.num_analytic
     analytic_ok = all(
         t in (int(MeshType.SPHERE), int(MeshType.PLANE), int(MeshType.BOX))
@@ -463,13 +470,20 @@ def _geometry_supported(scene, check_textures=True) -> bool:
     sdf_ok = (all(t == int(MeshType.SDF)
                   for t in scene.mesh_types_static[na:])
               and all(s in _SDF_SHAPES_OK for s in scene.sdf_shapes_static))
-    # NEE in-kernel covers analytic sphere emitters only; DIR/SDF light
-    # slots route the whole render to the XLA path.
-    lights_ok = all(
-        li < 0 or (li < na
-                   and scene.mesh_types_static[li] == int(MeshType.SPHERE)
-                   and scene.mat_types_static[li] == int(MatType.LIGHT))
-        for li in scene.lights_static)
+    if sphere_lights_only:
+        lights_ok = all(
+            li < 0 or (li < na
+                       and scene.mesh_types_static[li] == int(MeshType.SPHERE)
+                       and scene.mat_types_static[li] == int(MatType.LIGHT))
+            for li in scene.lights_static)
+    else:
+        # any in-range slot whose material is LIGHT (sphere or SDF
+        # bound) or DIR_LIGHT
+        lights_ok = all(
+            li < 0 or (li < len(scene.mesh_types_static)
+                       and scene.mat_types_static[li] in (
+                           int(MatType.LIGHT), int(MatType.DIR_LIGHT)))
+            for li in scene.lights_static)
     return bool((not check_textures or _textures_supported(scene))
                 and analytic_ok and sdf_ok and lights_ok)
 
@@ -496,7 +510,7 @@ def supported_restir(scene, cfg: RenderConfig) -> bool:
     engaged = cfg.use_restir and cfg.sample_lights and num_lights > 0 and (
         not cfg.use_mis or num_lights > 8)
     return (
-        _geometry_supported(scene)
+        _geometry_supported(scene, sphere_lights_only=True)
         and engaged
         and (not cfg.use_cubemap or scene.cubemap_is_procedural)
         and cfg.use_biased_sampling
@@ -1511,7 +1525,77 @@ def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
                 tr = tr + contrib[0]
                 tg = tg + contrib[1]
                 tb = tb + contrib[2]
-            # (SDF/DIR light slots don't occur in megakernel scenes)
+            elif l_mat == int(MatType.LIGHT):
+                # SDF-bound area light (round 5, VERDICT r4 next #4):
+                # random point on the bounding ellipsoid
+                # (lighting.direct_light_slot:60-65, raytracer.glsl:
+                # 1205-1217), no solid-angle weight, no fog term
+                su1, su2 = _uniform2(pix, pass_u, samp_u, depth_u,
+                                     np.uint32(slot),
+                                     np.uint32(rng_mod.Stream.NEE_SDF_POINT))
+                z = 1.0 - 2.0 * su1
+                rr = _safe_sqrt(1.0 - z * z)
+                phi = TWO_PI * su2
+                j1 = sv[li][_C_J1]
+                j2 = sv[li][_C_J2]
+                ld = (lp[0] + rr * jnp.cos(phi) * j0,
+                      lp[1] + rr * jnp.sin(phi) * j1,
+                      lp[2] + z * j2)
+                sr = _normalize(_sub(ld, x))
+                so = _add(x, _scale(nl, eps))
+                ts, hidx = intersect(so, sr)
+                hit_light = lane_mask(
+                    hidx, lambda i: mat_types[i] == int(MatType.LIGHT)) \
+                    & (ts < 1e30)
+                _, _, hc, he, _ = select_mesh_params(hidx)
+                lit = (jnp.maximum(hc[0], 0.001), jnp.maximum(hc[1], 0.001),
+                       jnp.maximum(hc[2], 0.001))
+                cos_term = jnp.maximum(0.001, _dot(sr, nl))
+                contrib = _scale(_mul(lit, he), cos_term)
+                zero3 = (0.0 * tr,) * 3
+                contrib = _where3(hit_light, contrib, zero3)
+                if cfg.use_mis:
+                    # uniform-sphere fallback pdf for non-sphere area
+                    # lights (lighting.light_pdf_slot, raytracer.glsl:
+                    # 1261)
+                    has_e = _dot(contrib, contrib) > 1e-6
+                    sw = _sub(lp, x)
+                    ldir = _normalize(sw)
+                    b_pdf = jnp.maximum(0.0, _dot(ldir, nl)) * ONE_OVER_PI
+                    wgt = _power_heuristic(
+                        jnp.full_like(tr, 1.0 / FOUR_PI), b_pdf)
+                    contrib = _where3(has_e, _scale(contrib, wgt), zero3)
+                tr = tr + contrib[0]
+                tg = tg + contrib[1]
+                tb = tb + contrib[2]
+            elif l_mat == int(MatType.DIR_LIGHT):
+                # directional light: mesh.pos IS the direction; lit when
+                # the occlusion ray to infinity misses
+                # (lighting.direct_light_slot:67-68,103, raytracer.glsl:
+                # 1220-1227).  Under MIS the light-slot pdf is 0
+                # (light_pdf_slot gates on MatType.LIGHT), so the power-
+                # heuristic weight vanishes — mirrored exactly.
+                inv_len = 1.0 / jnp.sqrt(jnp.maximum(
+                    lp[0] * lp[0] + lp[1] * lp[1] + lp[2] * lp[2], 1e-12))
+                srd = (jnp.full_like(tr, lp[0] * inv_len),
+                       jnp.full_like(tr, lp[1] * inv_len),
+                       jnp.full_like(tr, lp[2] * inv_len))
+                so = _add(x, _scale(nl, eps))
+                ts, _hidx = intersect(so, srd)
+                missed_s = ts > 1e30
+                lc = (sv[li][_C_CR] * sv[li][_C_ER],
+                      sv[li][_C_CG] * sv[li][_C_EG],
+                      sv[li][_C_CB] * sv[li][_C_EB])
+                cosw = jnp.maximum(
+                    0.001, lp[0] * nl[0] + lp[1] * nl[1] + lp[2] * nl[2])
+                contrib = (lc[0] * cosw, lc[1] * cosw, lc[2] * cosw)
+                zero3 = (0.0 * tr,) * 3
+                contrib = _where3(missed_s, contrib, zero3)
+                if cfg.use_mis:
+                    contrib = zero3  # l_pdf = 0 -> zero heuristic weight
+                tr = tr + contrib[0]
+                tg = tg + contrib[1]
+                tb = tb + contrib[2]
         return (tr, tg, tb)
 
     zeros = jnp.zeros_like(o[0])
@@ -2089,7 +2173,7 @@ def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d,
                  unroll=True, restir_slots=0, env_slots=0,
                  gbuf_refs=None, env_refs=None, tex_slots=0,
                  tex_refs=None, tex_acc_refs=None, restir_fused=None,
-                 texlight_refs=None):
+                 texlight_refs=None, gate_from=None):
     """Radiance of one SoA block.  Pure in (sv, o, d) — `sv` is a tuple of
     per-mesh 36-scalar tuples (the SMEM table snapshot) so `jax.vjp` of
     this function gives the exact adjoint w.r.t. scene params and rays.
@@ -2109,12 +2193,23 @@ def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d,
     st = _st0(o, d, tex_slots, restir_fused is not None)
     if unroll:
         # full unroll: short loops trace fast and spill nothing.
-        # (A per-slot any-lane-alive lax.cond gate — which would carry
-        # the early exit into the adjoint replay too since cond
-        # transposes to cond — hits a Mosaic internal error on the
-        # mixed-i1 carried state; keep the slots unconditional here.)
+        # `gate_from` wraps bounce slots >= that depth in an
+        # any-lane-alive lax.cond (used by the adjoint kernels, round 5:
+        # cond transposes to cond, so dead tail slots skip BOTH the
+        # forward replay and the transpose sweep — the forward's rolled
+        # early exit, which the unrolled adjoint replay otherwise
+        # loses).  bounce() is a no-op on dead lanes, so gating is
+        # bit-exact.  (A round-2 attempt hit a Mosaic internal error on
+        # mixed-i1 carried state; the carry has been all-f32/i32 since
+        # the fused-ReSTIR refactor.)
         for depth in range(cfg.max_bounces):
-            st = bounce(np.uint32(depth), st)
+            if gate_from is not None and depth >= gate_from:
+                st = jax.lax.cond(
+                    jnp.max(st[4]) > 0.5,
+                    functools.partial(bounce, np.uint32(depth)),
+                    lambda s: s, st)
+            else:
+                st = bounce(np.uint32(depth), st)
     else:
         # rolled loop: one traced bounce instead of max_bounces copies —
         # cuts Mosaic compile time ~linearly in max_bounces (the config-5
@@ -2222,6 +2317,20 @@ def _forward(scene, cfg: RenderConfig, ro, rd, pix, pass_idx, sample_idx):
 # backward kernel: jax.vjp of the unrolled trace, inside the kernel
 # ----------------------------------------------------------------------
 
+def _bwd_gate_from():
+    """First unrolled bounce slot the adjoint replay gates on
+    any-lane-alive (trace-time; RT0_BWD_GATE_FROM opts in).  Default
+    OFF: under vjp the lax.cond boundary selects between i1-vector
+    residual tuples and Mosaic's arith.select has no scalar-pred
+    lowering for vector<8x128xi1> operands (internal error, verified on
+    v5e r5) — the same wall round 2 hit.  The dead-tail skip ships via
+    the per-slot pl.when adjoint instead (no value-carrying branches)."""
+    v = os.environ.get("RT0_BWD_GATE_FROM", "off")
+    if v == "off":
+        return None
+    return int(v)
+
+
 def _bwd_kernel_body(meta, cfg: RenderConfig, ft_ref, pp_ref,
                      ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, pix_ref,
                      ctr_ref, ctg_ref, ctb_ref,
@@ -2244,8 +2353,11 @@ def _bwd_kernel_body(meta, cfg: RenderConfig, ft_ref, pp_ref,
         # per-bounce vjp 15.5 ms, + VMEM-stash CSE barrier 16.2 ms,
         # fully rolled stash sweeps 17.9 ms (jax.checkpoint/remat2 and
         # optimization_barrier have no Mosaic lowering at all).
+        # Round 5: bounce slots >= _bwd_gate_from() are lax.cond-gated
+        # on any-lane-alive — the replay AND its transpose skip the dead
+        # tail (the forward's early exit, recovered for the adjoint).
         return _trace_block(meta, cfg, sv, pix, pass_u, samp_u, o, d,
-                            unroll=True)
+                            unroll=True, gate_from=_bwd_gate_from())
 
     # Forward is replayed block-resident (counter RNG ⇒ exact replay);
     # XLA's transpose of the unrolled loop is the exact adjoint.
@@ -2274,6 +2386,151 @@ def _bwd_kernel_body(meta, cfg: RenderConfig, ft_ref, pp_ref,
                 dft_ref[i, c] = dft_ref[i, c] + g
 
 
+# Per-slot stash adjoint (round 5, VERDICT r4 next #2): the whole-graph
+# vjp replays ALL max_bounces slots unconditionally — the forward's
+# rolled early exit (fwd(12 bounces) ~= fwd(4): most lanes die in a few
+# bounces, BENCH_r04 adjoint sweep) is lost in the adjoint, which is why
+# bwd/fwd grows super-linearly in depth (1.46/2.45/4.2 at 2/6/12).
+# lax.cond gating is unavailable (Mosaic can't select i1-vector residual
+# tuples), but pl.when regions carry no values — only ref effects — so:
+#   fwd sweep: each slot, gated on any-lane-alive, reads the carry from
+#     a VMEM stash, runs one bounce, writes carry + per-depth stash;
+#   bwd sweep: each slot, gated on "slot ran", re-runs jax.vjp of that
+#     ONE bounce from its stashed input and chains cotangents through
+#     VMEM ct refs, accumulating scene-param cotangents in SMEM.
+# Dead tail slots skip both sweeps entirely; per-slot residuals also
+# bound the VMEM residual stack to one bounce.  Bit-exact: a skipped
+# slot is the identity, whose vjp is the identity.
+
+_ST_F = 17   # float carry channels: o3 d3 mask3 acc3 active spec prev_nl3
+_ST_I = 3    # int carry channels: ndif nspec nscat (no cotangents)
+
+
+def _st_to_channels(st):
+    """Flatten the plain-path carry into (floats[17], ints[3]) lists."""
+    o, d, mask, acc, active_f, specular_f, prev_nl, ndif, nspec, nscat = st
+    floats = [*o, *d, *mask, *acc, active_f, specular_f, *prev_nl]
+    return floats, [ndif, nspec, nscat]
+
+
+def _st_from_channels(floats, ints):
+    f = list(floats)
+    return ((f[0], f[1], f[2]), (f[3], f[4], f[5]), (f[6], f[7], f[8]),
+            (f[9], f[10], f[11]), f[12], f[13], (f[14], f[15], f[16]),
+            ints[0], ints[1], ints[2])
+
+
+def _bwd_slotted_kernel_body(meta, cfg: RenderConfig, ft_ref, pp_ref,
+                             ox_ref, oy_ref, oz_ref,
+                             dx_ref, dy_ref, dz_ref, pix_ref,
+                             ctr_ref, ctg_ref, ctb_ref,
+                             dft_ref,
+                             dox_ref, doy_ref, doz_ref,
+                             ddx_ref, ddy_ref, ddz_ref,
+                             stash_ref, ct_ref, ran_ref, dsv_ref):
+    n_mesh = len(meta[0])
+    nb = cfg.max_bounces
+    sv = _load_scene_vals(ft_ref, n_mesh)
+    pass_u = pp_ref[0, 0].astype(jnp.uint32)
+    samp_u = pp_ref[0, 1].astype(jnp.uint32)
+    pix = pix_ref[:]
+    o = (ox_ref[:], oy_ref[:], oz_ref[:])
+    d = (dx_ref[:], dy_ref[:], dz_ref[:])
+
+    def bounce_of(sv_t):
+        return _build_bounce(meta, cfg, sv_t, pix, pass_u, samp_u, o)
+
+    bounce = bounce_of(sv)
+
+    # ---- forward sweep: stash the input carry of every live slot ----
+    floats0, ints0 = _st_to_channels(_st0(o, d))
+    for c, v in enumerate(floats0):
+        stash_ref[0, c] = v
+    for c, v in enumerate(ints0):
+        stash_ref[0, _ST_F + c] = v.astype(jnp.float32)
+    ran_ref[0] = 1
+
+    for k in range(nb):
+        @pl.when(ran_ref[0] > k)
+        def _(k=k):
+            floats = [stash_ref[k, c] for c in range(_ST_F)]
+            ints = [stash_ref[k, _ST_F + c].astype(jnp.int32)
+                    for c in range(_ST_I)]
+            st2 = bounce(np.uint32(k), _st_from_channels(floats, ints))
+            f2, i2 = _st_to_channels(st2)
+            for c, v in enumerate(f2):
+                stash_ref[k + 1, c] = v
+            for c, v in enumerate(i2):
+                stash_ref[k + 1, _ST_F + c] = v.astype(jnp.float32)
+            # dead-block early exit: stop running slots once every lane
+            # in the block has terminated (f2[12] is active_f)
+            alive = jnp.max(f2[12]) > 0.5
+            ran_ref[0] = jnp.where(alive, k + 2, k + 1)
+
+    # ---- cotangent init: loss sees only the final accumulator ----
+    zeros = jnp.zeros_like(ctr_ref[:])
+    for c in range(_ST_F):
+        ct_ref[c] = zeros
+    ct_ref[9] = ctr_ref[:]
+    ct_ref[10] = ctg_ref[:]
+    ct_ref[11] = ctb_ref[:]
+    for i in range(n_mesh):
+        for c in range(_NCOLS):
+            dsv_ref[i, c] = 0.0
+
+    # ---- backward sweep: one-slot vjp per ran slot, newest first ----
+    for k in reversed(range(nb)):
+        @pl.when(ran_ref[0] > k)
+        def _(k=k):
+            floats = [stash_ref[k, c] for c in range(_ST_F)]
+            ints = [stash_ref[k, _ST_F + c].astype(jnp.int32)
+                    for c in range(_ST_I)]
+
+            def f(sv_t, fl):
+                st2 = bounce_of(sv_t)(np.uint32(k),
+                                      _st_from_channels(fl, ints))
+                return _st_to_channels(st2)[0]
+
+            _, vjp = jax.vjp(f, sv, floats)
+            ct_out = [ct_ref[c] for c in range(_ST_F)]
+            d_sv, d_fl = vjp(ct_out)
+            for c in range(_ST_F):
+                ct_ref[c] = d_fl[c]
+            for i in range(n_mesh):
+                for c in range(_NCOLS):
+                    dsv_ref[i, c] = dsv_ref[i, c] + d_sv[i][c]
+
+    # ---- emit ----
+    dox_ref[:] = ct_ref[0]
+    doy_ref[:] = ct_ref[1]
+    doz_ref[:] = ct_ref[2]
+    ddx_ref[:] = ct_ref[3]
+    ddy_ref[:] = ct_ref[4]
+    ddz_ref[:] = ct_ref[5]
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    for i in range(n_mesh):
+        for c in range(_NCOLS):
+            g = dsv_ref[i, c]
+
+            @pl.when(first)
+            def _(i=i, c=c, g=g):
+                dft_ref[i, c] = g
+
+            @pl.when(~first)
+            def _(i=i, c=c, g=g):
+                dft_ref[i, c] = dft_ref[i, c] + g
+
+
+def _bwd_slotted() -> bool:
+    """Trace-time selection of the per-slot stash adjoint.
+
+    Default ON (round 5 A/B on v5e, cornell 512² x 12 bounces, raygen
+    included: fwd+bwd 7.90 -> 5.67 ms, bwd/fwd 2.25 -> 1.62, compile 94
+    -> 45 s, grad fingerprints equal to f32 reassociation).  Set
+    RT0_BWD_SLOTTED=0 for the round-4 whole-graph-vjp kernel."""
+    return os.environ.get("RT0_BWD_SLOTTED", "1") == "1"
+
+
 def _backward(scene, cfg: RenderConfig, ro, rd, pix, pass_idx, sample_idx, ct):
     h, w = pix.shape
     meta = (scene.mesh_types_static, scene.mat_types_static,
@@ -2288,12 +2545,25 @@ def _backward(scene, cfg: RenderConfig, ro, rd, pix, pass_idx, sample_idx, ct):
 
     grid = (h // BLOCK_ROWS, w // BLOCK_COLS)
     row_spec = _row_spec()
-    kernel = functools.partial(_bwd_kernel_body, meta, cfg)
     interpret = os.environ.get("RT0_PALLAS_INTERPRET") == "1"
+    scratch = []
+    if _bwd_slotted():
+        kernel = functools.partial(_bwd_slotted_kernel_body, meta, cfg)
+        scratch = [
+            pltpu.VMEM((cfg.max_bounces + 1, _ST_F + _ST_I,
+                        BLOCK_ROWS, BLOCK_COLS), jnp.float32),  # stash
+            pltpu.VMEM((_ST_F, BLOCK_ROWS, BLOCK_COLS),
+                       jnp.float32),                            # ct carry
+            pltpu.SMEM((1,), jnp.int32),                        # ran
+            pltpu.SMEM((n_mesh, _NCOLS), jnp.float32),          # dsv acc
+        ]
+    else:
+        kernel = functools.partial(_bwd_kernel_body, meta, cfg)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         interpret=interpret,
+        scratch_shapes=scratch,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # ft
             pl.BlockSpec(memory_space=pltpu.SMEM),   # pp
@@ -2571,14 +2841,18 @@ def trace_forward_restir_fused_band(scene, cfg: RenderConfig, ro, rd, pix,
                               full_height, w)
 
 
-def _fused_restir_call(scene, cfg: RenderConfig, ro, rd, pix, pass_idx,
-                       sample_idx, taps, hist5, row0, full_h, full_w):
-    h, w = pix.shape
-    meta = (scene.mesh_types_static, scene.mat_types_static,
+def _fused_meta(scene):
+    return (scene.mesh_types_static, scene.mat_types_static,
             scene.lights_static, scene.sdf_shapes_static,
             scene.num_analytic, scene.tex_types_static, scene.opts_static,
             int(scene.cubemap.shape[1])
             if scene.cubemap_is_procedural else 0)
+
+
+def _fused_restir_fwd_impl(scene, cfg: RenderConfig, ro, rd, pix, pass_idx,
+                           sample_idx, taps, hist5, row0, full_h, full_w):
+    h, w = pix.shape
+    meta = _fused_meta(scene)
     ft = _scene_table(scene)
     pp = jnp.stack([jnp.asarray(pass_idx, jnp.int32),
                     jnp.asarray(sample_idx, jnp.int32),
@@ -2616,6 +2890,194 @@ def _fused_restir_call(scene, cfg: RenderConfig, ro, rd, pix, pass_idx,
     )(ft, pp, ro[..., 0], ro[..., 1], ro[..., 2],
       rd[..., 0], rd[..., 1], rd[..., 2], pix, taps, hist5)
     return jnp.stack([r, g, b], axis=-1), res5
+
+
+def _fused_restir_bwd_kernel_body(meta, cfg: RenderConfig, hw, ft_ref,
+                                  pp_ref, ox_ref, oy_ref, oz_ref,
+                                  dx_ref, dy_ref, dz_ref,
+                                  pix_ref, taps_ref, hist_ref,
+                                  ctr_ref, ctg_ref, ctb_ref, ctres_ref,
+                                  dft_ref,
+                                  dox_ref, doy_ref, doz_ref,
+                                  ddx_ref, ddy_ref, ddz_ref,
+                                  dtaps_ref, dhist_ref):
+    """Adjoint of the fused ReSTIR megakernel (VERDICT r4 next #1).
+
+    Same recipe as `_bwd_kernel_body`: the fused trace — bounce loop +
+    all four reservoir phases + reservoir shading — is a pure function
+    of (scene table, primary ray, spatial-tap values, temporal-history
+    values) per block, so the backward kernel replays it block-resident
+    under `jax.vjp` (counter RNG ⇒ exact replay) and XLA's transpose is
+    the exact adjoint.  Cotangents flow through candidate weights,
+    reservoir combines, finalize bias/W and shading — with the discrete
+    light selections detached (the light-index channel is int-cast on
+    read, exactly the semantics the FD-linearity tests pin,
+    tests/test_restir.py:183-214)."""
+    n_mesh = len(meta[0])
+    sv = _load_scene_vals(ft_ref, n_mesh)
+    pass_u = pp_ref[0, 0].astype(jnp.uint32)
+    samp_u = pp_ref[0, 1].astype(jnp.uint32)
+    row0 = pp_ref[0, 2]
+    pix = pix_ref[:]
+    o = (ox_ref[:], oy_ref[:], oz_ref[:])
+    d = (dx_ref[:], dy_ref[:], dz_ref[:])
+    taps_v = taps_ref[...]
+    hist_v = hist_ref[...]
+
+    def f(sv, o, d, taps_v, hist_v):
+        # _build_restir_vertex indexes taps/hist as [slot, channel] block
+        # reads — identical syntax on refs and on these value arrays, so
+        # the forward body is reused verbatim with the values traced as
+        # vjp inputs.
+        acc, res = _trace_block(
+            meta, cfg, sv, pix, pass_u, samp_u, o, d,
+            unroll=True, gate_from=_bwd_gate_from(),
+            restir_fused=dict(taps_ref=taps_v, hist_ref=hist_v,
+                              height=hw[0], width=hw[1], row0=row0))
+        return acc, res[:4]  # float channels; winner index detached
+
+    _, vjp = jax.vjp(f, sv, o, d, taps_v, hist_v)
+    ct_acc = (ctr_ref[:], ctg_ref[:], ctb_ref[:])
+    ct_res = tuple(ctres_ref[c] for c in range(_RES_CH - 1))
+    dsv, do, dd, dtaps, dhist = vjp((ct_acc, ct_res))
+
+    dox_ref[:] = do[0]
+    doy_ref[:] = do[1]
+    doz_ref[:] = do[2]
+    ddx_ref[:] = dd[0]
+    ddy_ref[:] = dd[1]
+    ddz_ref[:] = dd[2]
+    dtaps_ref[...] = dtaps
+    dhist_ref[...] = dhist
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    for i in range(n_mesh):
+        for c in range(_NCOLS):
+            g = dsv[i][c]
+
+            @pl.when(first)
+            def _(i=i, c=c, g=g):
+                dft_ref[i, c] = g
+
+            @pl.when(~first)
+            def _(i=i, c=c, g=g):
+                dft_ref[i, c] = dft_ref[i, c] + g
+
+
+def _fused_restir_backward(scene, cfg: RenderConfig, ro, rd, pix,
+                           pass_idx, sample_idx, taps, hist5, row0,
+                           full_h, full_w, ct_rad, ct_res5):
+    h, w = pix.shape
+    meta = _fused_meta(scene)
+    n_mesh = len(meta[0])
+    ft = _scene_table(scene)
+    pp = jnp.stack([jnp.asarray(pass_idx, jnp.int32),
+                    jnp.asarray(sample_idx, jnp.int32),
+                    jnp.asarray(row0, jnp.int32)]).reshape(1, 3)
+
+    grid = (h // BLOCK_ROWS, w // BLOCK_COLS)
+    row_spec = _row_spec()
+    kernel = functools.partial(_fused_restir_bwd_kernel_body, meta, cfg,
+                               (full_h, full_w))
+    interpret = os.environ.get("RT0_PALLAS_INTERPRET") == "1"
+    # The vjp residual stack of the fused trace overflows the default
+    # 16 MiB scoped-VMEM budget (~33 MiB at 6 bounces); raise the
+    # per-kernel cap — v5e has 128 MiB physical VMEM.
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=int(os.environ.get("RT0_BWD_VMEM_MB", "96"))
+        * 1024 * 1024)
+    n_taps = taps.shape[0]
+    tap_spec = pl.BlockSpec((n_taps, _RES_CH, BLOCK_ROWS, BLOCK_COLS),
+                            lambda i, j: (0, 0, i, j),
+                            memory_space=pltpu.VMEM)
+    hist_spec = pl.BlockSpec((2, _RES_CH, BLOCK_ROWS, BLOCK_COLS),
+                             lambda i, j: (0, 0, i, j),
+                             memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=interpret,
+        compiler_params=params,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # ft
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # pp
+            row_spec, row_spec, row_spec,            # o
+            row_spec, row_spec, row_spec,            # d
+            row_spec,                                # pix
+            tap_spec,                                # taps
+            hist_spec,                               # hist
+            row_spec, row_spec, row_spec,            # ct radiance
+            pl.BlockSpec((_RES_CH - 1, BLOCK_ROWS, BLOCK_COLS),
+                         lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),   # ct reservoir floats
+        ],
+        out_specs=[
+            pl.BlockSpec((n_mesh, _NCOLS), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            row_spec, row_spec, row_spec,
+            row_spec, row_spec, row_spec,
+            tap_spec, hist_spec,
+        ],
+        out_shape=[jax.ShapeDtypeStruct((n_mesh, _NCOLS), jnp.float32)]
+        + [jax.ShapeDtypeStruct((h, w), jnp.float32)] * 6
+        + [jax.ShapeDtypeStruct(taps.shape, jnp.float32),
+           jax.ShapeDtypeStruct(hist5.shape, jnp.float32)],
+    )(ft, pp, ro[..., 0], ro[..., 1], ro[..., 2],
+      rd[..., 0], rd[..., 1], rd[..., 2], pix, taps, hist5,
+      ct_rad[..., 0], ct_rad[..., 1], ct_rad[..., 2],
+      ct_res5[:_RES_CH - 1])
+    dft, dox, doy, doz, ddx, ddy, ddz, dtaps, dhist = outs
+    d_ro = jnp.stack([dox, doy, doz], axis=-1)
+    d_rd = jnp.stack([ddx, ddy, ddz], axis=-1)
+    return dft, d_ro, d_rd, dtaps, dhist
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 10, 11))
+def _fused_restir_call(scene, cfg: RenderConfig, ro, rd, pix, pass_idx,
+                       sample_idx, taps, hist5, row0, full_h, full_w):
+    """Differentiable fused ReSTIR launch: forward is the single fused
+    Pallas kernel; backward is `_fused_restir_backward` — gradients
+    w.r.t. scene parameters, primary rays, the pre-rolled spatial taps
+    and the temporal history (reservoirs as differentiable state,
+    BASELINE.json north star).  The tap/history cotangents transpose
+    through `roll_taps` / halo exchange / band slicing in XLA above this
+    call, so the single-chip, band and sharded paths are all trainable."""
+    return _fused_restir_fwd_impl(scene, cfg, ro, rd, pix, pass_idx,
+                                  sample_idx, taps, hist5, row0,
+                                  full_h, full_w)
+
+
+def _fused_restir_vjp_fwd(scene, cfg, ro, rd, pix, pass_idx, sample_idx,
+                          taps, hist5, row0, full_h, full_w):
+    out = _fused_restir_fwd_impl(scene, cfg, ro, rd, pix, pass_idx,
+                                 sample_idx, taps, hist5, row0,
+                                 full_h, full_w)
+    return out, (scene, ro, rd, pix, pass_idx, sample_idx, taps, hist5,
+                 row0)
+
+
+def _fused_restir_vjp_bwd(cfg, full_h, full_w, res, ct):
+    scene, ro, rd, pix, pass_idx, sample_idx, taps, hist5, row0 = res
+    ct_rad, ct_res5 = ct
+    dft, d_ro, d_rd, d_taps, d_hist = _fused_restir_backward(
+        scene, cfg, ro, rd, pix, pass_idx, sample_idx, taps, hist5,
+        row0, full_h, full_w, ct_rad, ct_res5)
+    d_scene = jax.tree.map(_zero_cotangent, scene)
+    d_scene = d_scene.replace(
+        pos=dft[:, _C_PX:_C_PZ + 1],
+        joker=dft[:, _C_J0:_C_J3 + 1],
+        color=dft[:, _C_CR:_C_CB + 1],
+        emission=dft[:, _C_ER:_C_EB + 1],
+        ior=dft[:, _C_NT],
+        aux=dft[:, _C_AUX:_C_AUX + 12],
+        tex_params=dft[:, _C_TP:_C_TP + 4],
+        tex_cmask=dft[:, _C_CM:_C_CM + 3],
+        tex_emask=dft[:, _C_EM:_C_EM + 3],
+    )
+    return (d_scene, d_ro, d_rd, None, None, None, d_taps, d_hist, None)
+
+
+_fused_restir_call.defvjp(_fused_restir_vjp_fwd, _fused_restir_vjp_bwd)
 
 
 def _cast_kernel_body(meta, cfg: RenderConfig, ft_ref,

@@ -27,8 +27,12 @@ Execution tiers (fastest first, auto-dispatched by `render_pass`):
 (megakernel.trace_forward_restir_fused; requires identity temporal
 reprojection, the default); `render_sample_fast` — G-buffer kernel +
 XLA phases + cast_rays (serves `restir_adhoc_motion`); `render_sample`
-— the pure-XLA wavefront, which is the semantics oracle for both and
-the differentiable/training path.
+— the XLA wavefront, the semantics oracle and a training path.  On TPU
+the oracle's gradient-dead occlusion sweeps run on the Pallas
+`cast_rays` kernel (`grad_safe_cast_fn` — gradient-exact, see its
+docstring); the pure-XLA form is recoverable with RT0_NO_GRAD_CAST=1
+in a fresh process.  The fused kernel is itself differentiable (round
+5): its backward is the Pallas adjoint `megakernel._fused_restir_call`.
 """
 
 from __future__ import annotations
@@ -249,12 +253,16 @@ def grad_safe_cast_fn(scene_frame, cfg, height, width):
     import os as _os
 
     from raytracer0_tpu.ops import megakernel
-    if _os.environ.get("RT0_NO_GRAD_CAST") == "1":  # A/B hook
+
+    # A/B hook, read at TRACE time: render_sample_jit and the Renderer
+    # cache their jitted functions, so flipping the env var after the
+    # first compile has no effect in-process — set it before the first
+    # render (exp_grad_cast.py builds fresh jax.jit objects per run).
+    if _os.environ.get("RT0_NO_GRAD_CAST") == "1":
         return None
     if cfg.use_volumetrics or not cfg.use_megakernel:
         return None
-    if not (megakernel.supported_restir(scene_frame, cfg)
-            and megakernel.supports_shape(height, width)):
+    if not megakernel.supported_restir(scene_frame, cfg):
         return None
     try:
         if jax.default_backend() != "tpu":
@@ -264,8 +272,24 @@ def grad_safe_cast_fn(scene_frame, cfg, height, width):
     sg = jax.lax.stop_gradient
     frozen = sg(scene_frame)
 
+    # Pad unaligned shapes to the kernel block and crop: the cast then
+    # serves ANY (height, width), so sharded bands and the monolithic
+    # image always pick the same cast implementation (advisor r4 — the
+    # two paths previously diverged when only one shape was
+    # block-aligned).
+    h2 = -(-height // megakernel.BLOCK_ROWS) * megakernel.BLOCK_ROWS
+    w2 = -(-width // megakernel.BLOCK_COLS) * megakernel.BLOCK_COLS
+
     def cast(o, d):
-        return megakernel.cast_rays(frozen, cfg, sg(o), sg(d))
+        o, d = sg(o), sg(d)
+        if (h2, w2) != (height, width):
+            pw = ((0, h2 - height), (0, w2 - width), (0, 0))
+            t, idx, missed = megakernel.cast_rays(
+                frozen, cfg, jnp.pad(o, pw, mode="edge"),
+                jnp.pad(d, pw, mode="edge"))
+            return (t[:height, :width], idx[:height, :width],
+                    missed[:height, :width])
+        return megakernel.cast_rays(frozen, cfg, o, d)
 
     return cast
 

@@ -194,7 +194,8 @@ def sharded_restir_fused_render_pass(scene, camera, cfg, mesh, state,
 
 def make_restir_train_step(cfg, mesh, height: int, width: int,
                            param_labels=("color", "emission", "joker",
-                                         "pos", "ior")):
+                                         "pos", "ior"),
+                           use_fused: bool = False):
     """Distributed training step *through the ReSTIR pipeline*: forward
     render with reservoir-halo exchange over ICI, backward sweep through
     the differentiable reservoir state (discrete selections detached),
@@ -211,6 +212,17 @@ def make_restir_train_step(cfg, mesh, height: int, width: int,
     `RenderState` whose reservoir trees are row-sharded, `grads` a dict
     over `param_labels` (psum-replicated), and `new_back` the pass's
     output reservoirs (row-sharded) for threading into the next step.
+
+    With `use_fused=True` (round 5, VERDICT r4 next #1) each shard's
+    forward AND backward run on the fused ReSTIR megakernel + its
+    Pallas adjoint (`megakernel._fused_restir_call` custom_vjp): tap
+    halos are exchanged over ICI by `exchange_halo_rows` (linear, so AD
+    transposes the `ppermute`s), the pre-roll/slice transposes in XLA,
+    and the in-kernel adjoint propagates cotangents through candidate
+    weights / combines / finalize / shading with discrete selections
+    detached — identical differentiation semantics to the XLA route.
+    Requires `megakernel.supported_restir_fused(scene, cfg)` and a
+    kernel-compatible band shape at call time.
     """
     from raytracer0_tpu.render import integrator
     from raytracer0_tpu.render.renderer import _get_sdf_march
@@ -221,6 +233,11 @@ def make_restir_train_step(cfg, mesh, height: int, width: int,
     rows_per = height // n
     if rows_per < HALO and n > 1:
         raise ValueError(f"rows/shard {rows_per} < halo {HALO}")
+    if use_fused:
+        from raytracer0_tpu.ops import megakernel
+        if not megakernel.supports_shape(rows_per, width):
+            raise ValueError(
+                f"band {rows_per}x{width} unsupported by the fused kernel")
 
     def _render_local(scene_frame, camera, back, hist1, hist2, row0,
                       pass_idx, sdf_march):
@@ -248,6 +265,37 @@ def make_restir_train_step(cfg, mesh, height: int, width: int,
             total = total + rad
         return total / cfg.samples_per_pass, res_out
 
+    def _render_local_fused(scene_frame, camera, back, hist1, hist2,
+                            row0, pass_idx):
+        from raytracer0_tpu.ops import megakernel
+
+        back5 = restir_ops._pack5(back)               # [5, rows, W]
+        back5_p = jnp.stack([exchange_halo_rows(back5[c], HALO)
+                             for c in range(back5.shape[0])])
+        taps = megakernel.roll_taps(back5_p)[:, :, HALO:HALO + rows_per]
+        hist5 = jnp.stack([restir_ops._pack5(hist1),
+                           restir_ops._pack5(hist2)])
+
+        pix = rng.pixel_ids(rows_per, width, row0=row0)
+        total = jnp.zeros((rows_per, width, 3), jnp.float32)
+        res5 = None
+        for s in range(cfg.samples_per_pass):
+            ro, rd = generate_rays(camera, rows_per, width, pass_idx,
+                                   sample_idx=s, row0=row0,
+                                   full_height=height)
+            rad, res5 = megakernel._fused_restir_call(
+                scene_frame, cfg, ro, rd, pix, pass_idx, s, taps, hist5,
+                row0.astype(jnp.int32), height, width)
+            if cfg.use_spectral:
+                from raytracer0_tpu.ops import spectral
+                wl = spectral.sample_wavelength(
+                    rng.uniform(pix, pass_idx, s, rng.Stream.WAVELENGTH))
+                rad = rad * spectral.wavelength_to_rgb(wl)
+            total = total + rad
+        res_out = restir_ops._res_tree(
+            restir_ops._unpack5(scene_frame, res5))
+        return total / cfg.samples_per_pass, res_out
+
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(),
@@ -269,8 +317,13 @@ def make_restir_train_step(cfg, mesh, height: int, width: int,
             s = scene.replace(**params)
             s_frame = scene_mod.animate_positions(s, 0.0,
                                                   int(cfg.render_mode))
-            rad, res_out = _render_local(s_frame, camera, back, hist1,
-                                         hist2, row0, pass_idx, sdf_march)
+            if use_fused:
+                rad, res_out = _render_local_fused(
+                    s_frame, camera, back, hist1, hist2, row0, pass_idx)
+            else:
+                rad, res_out = _render_local(
+                    s_frame, camera, back, hist1, hist2, row0, pass_idx,
+                    sdf_march)
             loss = jnp.sum((rad - target) ** 2) / (height * width * 3)
             return loss, res_out
 
@@ -283,6 +336,11 @@ def make_restir_train_step(cfg, mesh, height: int, width: int,
 
     @functools.partial(jax.jit)
     def step(scene, camera, target, state, pass_idx):
+        if use_fused:
+            from raytracer0_tpu.ops import megakernel
+            if not megakernel.supported_restir_fused(scene, cfg):
+                raise ValueError("scene/config outside the fused ReSTIR "
+                                 "kernel class; use use_fused=False")
         back = restir_ops._res_tree(state.restir_back)
         hist1 = restir_ops._res_tree(state.restir_hist1)
         hist2 = restir_ops._res_tree(state.restir_hist2)

@@ -227,3 +227,64 @@ def test_min_band_guard():
     state = RenderState.create(64, 16)  # 8 rows/shard < HALO
     with pytest.raises(ValueError):
         halo.sharded_restir_render_pass(scene, cam, cfg, mesh, state, 64, 16)
+
+
+@pytest.mark.slow
+def test_fused_restir_train_step_grads_match_xla_interpret():
+    """`make_restir_train_step(use_fused=True)` (round 5): the sharded
+    training step on the fused ReSTIR kernel + Pallas adjoint — tap
+    halos over ppermute, in-kernel backward, psum'd grads — must produce
+    finite nonzero gradients close to the XLA-route step (the two
+    routes' forwards agree to f32 reassociation, so grads agree to the
+    same order).
+
+    slow: interpret-mode vjp of the fused kernel (set RT0_RUN_SLOW=1).
+    The single-chip fused adjoint itself was validated compiled on the
+    live v5e (FD rel err 2.2e-7)."""
+    import os
+
+    scene, cam, cfg = restir_demo()
+    cfg = cfg.replace(max_bounces=2, restir_samples=4, marching_steps=16)
+    H, W = 32, 128
+
+    mesh = sharding.make_tile_mesh(2)
+    state = RenderState.create(H, W)
+    for p in range(2):
+        _, back = halo.sharded_restir_render_pass(
+            scene, cam, cfg, mesh, state, H, W, p)
+        state = state.rotate_reservoirs(back)
+
+    target = jnp.zeros((H, W, 3), jnp.float32)
+    os.environ["RT0_PALLAS_INTERPRET"] = "1"
+    try:
+        stepf = halo.make_restir_train_step(cfg, mesh, H, W,
+                                            param_labels=("emission",),
+                                            use_fused=True)
+        lf, gf, backf = stepf(scene, cam, target, state, 2)
+    finally:
+        del os.environ["RT0_PALLAS_INTERPRET"]
+    stepx = halo.make_restir_train_step(cfg, mesh, H, W,
+                                        param_labels=("emission",))
+    lx, gx, backx = stepx(scene, cam, target, state, 2)
+
+    assert np.isfinite(float(lf)) and float(lf) > 0.0
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-3)
+    a, b = np.asarray(gf["emission"]), np.asarray(gx["emission"])
+    assert np.isfinite(a).all() and np.any(a != 0.0)
+    scale = max(np.abs(b).max(), 1e-9)
+    assert np.abs(a - b).max() / scale < 2e-2, np.abs(a - b).max() / scale
+
+
+def test_fused_train_step_rejects_unsupported_scene():
+    """use_fused=True must refuse scenes outside the fused kernel class
+    instead of silently rendering something else."""
+    scene, cam, cfg = restir_demo()
+    cfg2 = cfg.replace(max_bounces=2, restir_samples=4,
+                       restir_adhoc_motion=True)  # fused requires identity
+    state = RenderState.create(32, 128)
+    mesh = sharding.make_tile_mesh(1)
+    step = halo.make_restir_train_step(cfg2, mesh, 32, 128,
+                                       param_labels=("emission",),
+                                       use_fused=True)
+    with pytest.raises(ValueError, match="fused"):
+        step(scene, cam, jnp.zeros((32, 128, 3), jnp.float32), state, 0)

@@ -679,3 +679,93 @@ def test_imgtex_gloss_coupled_rows_stay_xla():
     _, _, cfg = cornell_default()
     assert not megakernel.supported_imgtex(scene, cfg)
     assert not megakernel.supported(scene, cfg)
+
+
+def _dir_light_scene():
+    """Open scene (finite geometry only — infinite planes would occlude
+    every occlusion-to-infinity ray) lit by a directional sun whose
+    mesh.pos IS the direction (raytracer.glsl:1220-1227)."""
+    from raytracer0_tpu.models.materials import MeshType
+    from raytracer0_tpu.models.scene import SceneBuilder
+
+    sb = SceneBuilder()
+    sb.add("MAT_CORNELL_WHITE", MeshType.BOX, (0.0, -2.2, -1.0), (2.0,))
+    sb.add("MAT_CORNELL_RED", MeshType.BOX, (-0.8, -0.8, -1.4), (0.8,))
+    sb.add("MAT_MIRROR", MeshType.SPHERE, (0.6, -0.7, -1.0), (0.5,))
+    sb.add("MAT_DIRECT_SUNLIGHT", MeshType.SPHERE, (0.5, 0.8, 0.3), (0.01,))
+    sb.lights([3])
+    return sb.build()
+
+
+def _sdf_light_scene():
+    """Cornell geometry with the sphere light replaced by an SDF
+    round-box light — NEE samples a random point on its bounding
+    ellipsoid (raytracer.glsl:1205-1217)."""
+    from raytracer0_tpu.models.materials import MeshType, SdfShape
+    from raytracer0_tpu.models.scene import SceneBuilder
+
+    sb = SceneBuilder()
+    sb.add("MAT_CORNELL_WHITE", MeshType.PLANE, (0.0, 1.0, 0.0), (1.5,))
+    sb.add("MAT_CORNELL_WHITE", MeshType.PLANE, (0.0, -1.0, 0.0), (1.5,))
+    sb.add("MAT_CORNELL_WHITE", MeshType.PLANE, (0.0, 0.0, 1.0), (2.5,))
+    sb.add("MAT_CORNELL_RED", MeshType.PLANE, (1.0, 0.0, 0.0), (1.5,))
+    sb.add("MAT_CORNELL_GREEN", MeshType.PLANE, (-1.0, 0.0, 0.0), (1.5,))
+    sb.add("MAT_CORNELL_WHITE", MeshType.BOX, (0.5, -1.0, -1.8), (1.0,))
+    sb.add("MAT_LIGHT_4", MeshType.SDF, (0.0, 1.0, -1.2),
+           (0.3, 0.3, 0.3, 0.05), sdf_shape=SdfShape.ROUND_BOX)
+    return sb.build()
+
+
+@pytest.mark.parametrize("use_mis", [False, True])
+def test_dir_light_nee_matches_integrator_interpret(use_mis):
+    """In-kernel NEE for directional lights (round 5, VERDICT r4 next
+    #4): the kernel path must accept DIR-light scenes (previously the
+    whole render fell to the XLA path) and match the XLA integrator —
+    including the MIS case, where the zero light-slot pdf zeroes the
+    weight on both paths (lighting.light_pdf_slot)."""
+    scene = _dir_light_scene()
+    _, cam, cfg = cornell_default()
+    cfg = cfg.replace(max_bounces=3, use_mis=use_mis)
+    assert megakernel.supported(scene, cfg)
+    H, W = 8, 128
+    pix = rng.pixel_ids(H, W)
+    ro, rd = generate_rays(cam, H, W, 0)
+
+    ref = np.asarray(integrator.trace(scene, cfg, ro, rd, pix, 0, 0))
+    os.environ["RT0_PALLAS_INTERPRET"] = "1"
+    try:
+        out = np.asarray(megakernel.trace_forward(scene, cfg, ro, rd,
+                                                  pix, 0, 0))
+    finally:
+        del os.environ["RT0_PALLAS_INTERPRET"]
+    assert ref.mean() > 1e-3  # the sun actually contributes
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("use_mis", [False, True])
+def test_sdf_light_nee_matches_integrator_interpret(use_mis):
+    """In-kernel NEE for SDF-bound lights (round 5, VERDICT r4 next #4):
+    bounding-ellipsoid point sampling + the 1/4pi uniform-sphere MIS pdf
+    must match the XLA integrator on an SDF-light cornell scene."""
+    from raytracer0_tpu.ops import sdf as sdf_ops
+
+    scene = _sdf_light_scene()
+    _, cam, cfg = cornell_default()
+    cfg = cfg.replace(max_bounces=3, use_mis=use_mis, marching_steps=32)
+    assert megakernel.supported(scene, cfg)
+    H, W = 8, 128
+    pix = rng.pixel_ids(H, W)
+    ro, rd = generate_rays(cam, H, W, 0)
+
+    ref = np.asarray(integrator.trace(scene, cfg, ro, rd, pix, 0, 0,
+                                      sdf_march=sdf_ops.march))
+    os.environ["RT0_PALLAS_INTERPRET"] = "1"
+    try:
+        out = np.asarray(megakernel.trace_forward(scene, cfg, ro, rd,
+                                                  pix, 0, 0))
+    finally:
+        del os.environ["RT0_PALLAS_INTERPRET"]
+    assert ref.mean() > 1e-3
+    err = np.abs(out - ref)
+    assert err.max() < 1e-4
+    assert (err.max(-1) < 1e-5).mean() > 0.99

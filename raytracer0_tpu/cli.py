@@ -90,11 +90,21 @@ def cmd_render(args):
             print(f"resumed at pass {int(r.state.passes)}", file=sys.stderr)
         timer = RenderTimer(h, w, cfg.samples_per_pass, cfg.max_bounces)
         from raytracer0_tpu.utils.profiling import sync
-        for p in range(args.passes):
+        # On-device frame chains (render_scan, round 5): one dispatch +
+        # one barrier per chunk instead of per pass — the per-pass host
+        # dispatch and state sync cost ~25 ms/leaf RTT on the tunneled
+        # platform.  Checkpointing bounds the chunk so state still
+        # reaches the host every `checkpoint_every` passes.
+        chunk = args.checkpoint_every if args.checkpoint else args.passes
+        done = 0
+        while done < args.passes:
+            n = min(chunk, args.passes - done)
+            timer.block_passes = n
             with timer:
-                # sync inside the timed region: step() is async dispatch
-                sync(r.step(time_s=args.time))
-            if args.checkpoint and (p + 1) % args.checkpoint_every == 0:
+                r.render_scan(n, time_s=args.time)
+                sync(r.state.passes)  # one-leaf barrier = full barrier
+            done += n
+            if args.checkpoint:
                 from raytracer0_tpu.parallel import checkpoint
                 checkpoint.save(args.checkpoint, r.state, scene=scene, cfg=cfg)
         print(json.dumps(timer.report()), file=sys.stderr)

@@ -52,8 +52,10 @@ class RenderTimer:
     bounces: int
     passes: int = 0
     total_s: float = 0.0
-    compile_s: float = 0.0   # wall time of the first (compiling) pass
-    steady_s: float = 0.0    # wall time of all subsequent passes
+    compile_s: float = 0.0   # wall time of the first (compiling) block
+    steady_s: float = 0.0    # wall time of all subsequent blocks
+    block_passes: int = 1    # passes per timed block (render_scan chunks)
+    compile_passes: int = 0  # passes inside the first (compiling) block
     _t0: Optional[float] = None
 
     def __enter__(self):
@@ -65,9 +67,10 @@ class RenderTimer:
         self.total_s += dt
         if self.passes == 0:
             self.compile_s = dt
+            self.compile_passes = self.block_passes
         else:
             self.steady_s += dt
-        self.passes += 1
+        self.passes += self.block_passes
 
     @property
     def rays_per_pass(self) -> int:
@@ -77,14 +80,15 @@ class RenderTimer:
     def rays_per_s(self) -> float:
         """Steady-state throughput (excludes the compiling first pass).
         Falls back to the all-passes average when only one pass ran."""
-        if self.passes > 1 and self.steady_s > 0:
-            return self.rays_per_pass * (self.passes - 1) / self.steady_s
+        steady = self.passes - self.compile_passes
+        if steady > 0 and self.steady_s > 0:
+            return self.rays_per_pass * steady / self.steady_s
         if self.total_s == 0:
             return 0.0
         return self.rays_per_pass * self.passes / self.total_s
 
     def report(self) -> dict:
-        steady_passes = max(self.passes - 1, 0)
+        steady_passes = max(self.passes - self.compile_passes, 0)
         return {
             "passes": self.passes,
             "total_s": round(self.total_s, 4),

@@ -173,3 +173,63 @@ def test_all_presets_build():
             assert cfg.use_cubemap and not scene.cubemap_is_procedural, name
         if name == "textured_cornell":
             assert scene.tex_types_used, name
+
+
+def test_render_scan_matches_stepped_passes():
+    """`render_scan` (round 5, VERDICT r4 next #7) — N passes as one
+    on-device lax.scan — must be bit-identical to N `render_pass` steps
+    for both the plain path and ReSTIR (accumulator + 3-deep reservoir
+    ring + pass counter all thread through the scan carry), including
+    chunked dispatch (mid-chain checkpointing)."""
+    import jax.numpy as jnp
+
+    from raytracer0_tpu.models.presets import cornell_default, restir_demo
+    from raytracer0_tpu.render.renderer import Renderer
+
+    scene, cam, cfg = cornell_default()
+    cfg = cfg.replace(max_bounces=2)
+    r1 = Renderer(scene, cam, cfg, 16, 16)
+    r1.render(3)
+    r2 = Renderer(scene, cam, cfg, 16, 16)
+    r2.render_scan(3)
+    np.testing.assert_array_equal(np.asarray(r1.state.accum),
+                                  np.asarray(r2.state.accum))
+    assert int(r2.state.passes) == 3
+
+    scene, cam, cfg = restir_demo()
+    cfg = cfg.replace(max_bounces=2, restir_samples=4, marching_steps=16)
+    r1 = Renderer(scene, cam, cfg, 16, 16)
+    r1.render(4)
+    r2 = Renderer(scene, cam, cfg, 16, 16)
+    r2.render_scan(4, chunk=2)
+    np.testing.assert_array_equal(np.asarray(r1.state.accum),
+                                  np.asarray(r2.state.accum))
+    np.testing.assert_array_equal(np.asarray(r1.state.restir_back.m),
+                                  np.asarray(r2.state.restir_back.m))
+
+
+def test_padded_trace_matches_unpadded():
+    """`_padded_trace` (round 5, VERDICT r4 weak #3): rendering at the
+    next block-aligned shape with edge-replicated rays and cropping must
+    reproduce the direct trace (the pad lanes are discarded)."""
+    import jax.numpy as jnp
+
+    from raytracer0_tpu import rng as rng_mod
+    from raytracer0_tpu.models.camera import generate_rays
+    from raytracer0_tpu.models.presets import cornell_default
+    from raytracer0_tpu.render import integrator
+    from raytracer0_tpu.render.renderer import _padded_trace
+
+    scene, cam, cfg = cornell_default()
+    cfg = cfg.replace(max_bounces=2)
+    H, W = 11, 70
+    pix = rng_mod.pixel_ids(H, W)
+    ro, rd = generate_rays(cam, H, W, 0)
+
+    def tf(sc, cf, o, d, px, p, s):
+        return integrator.trace(sc, cf, o, d, px, p, s)
+
+    a = np.asarray(tf(scene, cfg, ro, rd, pix, 0, 0))
+    b = np.asarray(_padded_trace(tf, H, W)(scene, cfg, ro, rd, pix, 0, 0))
+    assert b.shape == (H, W, 3)
+    np.testing.assert_allclose(a, b, atol=1e-6)

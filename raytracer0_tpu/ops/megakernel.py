@@ -125,8 +125,9 @@ def _uniform2(*coords):
 _TEX_KERNEL_OK = frozenset(int(t) for t in (
     TexType.CHECK, TexType.RIPPLE, TexType.VORONOI,
     TexType.GRADIENT_NOISE, TexType.VALUE_NOISE, TexType.METAL))
-#: UV-based types: sphere UVs need asin/atan2 (no Mosaic lowering), so
-#: spheres carrying these fall back to the XLA path too.
+#: UV-based types.  Spheres carrying CHECK/RIPPLE evaluate the
+#: spherical UV in-kernel via polynomial asin/atan2 (round 5); image
+#: types on spheres resolve their UVs host-side on the deferred split.
 _TEX_UV_TYPES = frozenset((int(TexType.CHECK), int(TexType.RIPPLE),
                            int(TexType.IMAGE0), int(TexType.IMAGE1),
                            int(TexType.IMAGE2), int(TexType.IMAGE3)))
@@ -340,6 +341,38 @@ def _safe_sqrt(x):
     return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
 
 
+def _atan_poly(t):
+    """atan(t) on [0, 1]: Hart's 8-term odd minimax (max err ~1e-7 rad).
+    Mosaic has no atan/atan2 lowering (verified unimplemented on v5e
+    r5), so spherical UVs evaluate this polynomial instead."""
+    s = t * t
+    p = -0.0040540580
+    for c in (0.0218612288, -0.0559098861, 0.0964200441, -0.1390853351,
+              0.1994653599, -0.3332985605, 0.9999993329):
+        p = p * s + c
+    return t * p
+
+
+def _atan2_k(y, x):
+    """Four-quadrant atan2 via range reduction + `_atan_poly`; matches
+    jnp.arctan2 to ~1e-7 rad (exact at y == 0: +0 maps to +pi for
+    x < 0, like XLA)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    swap = ay > ax
+    num = jnp.minimum(ax, ay)
+    den = jnp.maximum(jnp.maximum(ax, ay), 1e-30)
+    r = _atan_poly(num / den)
+    r = jnp.where(swap, PI * 0.5 - r, r)
+    r = jnp.where(x < 0.0, PI - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
+def _asin_k(v):
+    """asin(v) = atan2(v, sqrt(1 - v^2)); callers clip |v| < 1."""
+    return _atan2_k(v, jnp.sqrt(jnp.maximum(1.0 - v * v, 0.0)))
+
+
 def _normalize(a):
     inv = jax.lax.rsqrt(jnp.maximum(_dot(a, a), 1e-12))
     return _scale(a, inv)
@@ -448,9 +481,9 @@ def _textures_supported(scene) -> bool:
             continue  # never blended — dead texture slot
         if tt not in _TEX_KERNEL_OK:
             return False
-        if (tt in _TEX_UV_TYPES
-                and scene.mesh_types_static[i] == int(MeshType.SPHERE)):
-            return False
+        # UV-textured spheres run in-kernel since round 5 (spherical UV
+        # via polynomial asin/atan2); image types were already excluded
+        # by _TEX_KERNEL_OK above and take the deferred split instead.
     return True
 
 
@@ -1825,14 +1858,31 @@ def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
 
             present = sorted({tex_types[i] for i in tex_rows})
             if any(t in _TEX_UV_TYPES for t in present):
-                # dominant-normal-axis planar UV (intersect.parse_hit;
-                # spheres with UV textures are gated off this path)
+                # dominant-normal-axis planar UV (intersect.parse_hit)
                 na0, na1, na2 = jnp.abs(n[0]), jnp.abs(n[1]), jnp.abs(n[2])
                 x_dom = (na0 > na1) & (na0 > na2)
                 y_dom = (na1 > na0) & (na1 > na2)
                 uv_u = jnp.where(x_dom, -hit_pos[2], hit_pos[0])
                 uv_v = jnp.where(x_dom, -hit_pos[1],
                                  jnp.where(y_dom, hit_pos[2], -hit_pos[1]))
+                # spherical UV for UV-textured *spheres* (round 5,
+                # VERDICT r4 next #3: CHECK/RIPPLE-on-spheres at kernel
+                # speed) — world-position based, the reference quirk
+                # (raytracer.glsl:1055-1059; intersect.parse_hit:167-173)
+                # via the polynomial asin/atan2 (~1e-7 rad vs XLA's, so
+                # only CHECK/RIPPLE cell-boundary pixels can differ)
+                sph_uv = [i for i in tex_rows
+                          if tex_types[i] in _TEX_UV_TYPES
+                          and mesh_types[i] == int(MeshType.SPHERE)]
+                if sph_uv:
+                    m_sph = lane_mask(idx, lambda i: i in sph_uv)
+                    rho = jnp.sqrt(jnp.maximum(_dot(hit_pos, hit_pos),
+                                               1e-12))
+                    sphi = _asin_k(jnp.clip(hit_pos[1] / rho,
+                                            -1.0 + 1e-6, 1.0 - 1e-6))
+                    stheta = _atan2_k(hit_pos[2], hit_pos[0])
+                    uv_u = jnp.where(m_sph, sphi * ONE_OVER_PI, uv_u)
+                    uv_v = jnp.where(m_sph, stheta / TWO_PI, uv_v)
             scaled = (tp[0] * hit_pos[0], tp[1] * hit_pos[1],
                       tp[2] * hit_pos[2])
 

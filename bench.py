@@ -197,19 +197,25 @@ def bench_cornell():
 
 
 def _renderer_ms(scene, camera, cfg, iters=ITERS, time_fn=None):
+    """ms/pass via `Renderer.render_scan` — the whole chain is ONE
+    on-device lax.scan (round 5, VERDICT r4 next #7), so the tunneled
+    platform's ~1-3 ms per-dispatch latency no longer contaminates the
+    number (exp_fused_scan.py was the ground-truth protocol; it is now
+    the production path).  `time_fn(i)` maps to the scan's linear time
+    axis: time0 = time_fn(0), step = time_fn(1) - time_fn(0)."""
     from raytracer0_tpu.render.renderer import Renderer
     from raytracer0_tpu.utils.profiling import sync
 
     r = Renderer(scene, camera, cfg, H, W)
     tf = time_fn or (lambda i: 0.0)
+    dt_time = tf(1) - tf(0)
     t0 = time.perf_counter()
-    sync(r.step(tf(0)).passes)
+    r.render_scan(iters, time_s=tf(0), time_step=dt_time)
+    sync(r.state.passes)
     compile_s = time.perf_counter() - t0
-    sync(r.step(tf(1)).passes)
     t0 = time.perf_counter()
-    for i in range(iters):
-        r.step(tf(2 + i))
-    # one-leaf barrier: `passes` is chained through every render_pass
+    r.render_scan(iters, time_s=tf(iters), time_step=dt_time)
+    # one-leaf barrier: `passes` is chained through every pass
     sync(r.state.passes)
     return (time.perf_counter() - t0) / iters, compile_s
 
@@ -301,7 +307,9 @@ def bench_deferred_textures():
     on the same scenes as the in-JSON baseline the split kernels are
     measured against (VERDICT r3 weak #2 — the ~20x claim must be
     bench-verifiable, not a commit-message artifact)."""
-    from raytracer0_tpu.models.presets import cubemap_demo, textured_cornell
+    from raytracer0_tpu.models.presets import (cubemap_demo,
+                                               textured_cornell,
+                                               textured_gloss)
 
     s, cam, cfg = textured_cornell()
     tex_ms, _ = _renderer_ms(s, cam, cfg, iters=10)
@@ -311,7 +319,14 @@ def bench_deferred_textures():
     env_ms, _ = _renderer_ms(s2, cam2, cfg2, iters=10)
     env_xla_ms, _ = _renderer_ms(s2, cam2,
                                  cfg2.replace(use_megakernel=False), iters=3)
-    return tex_ms, env_ms, tex_xla_ms, env_xla_ms
+    # gloss-coupled rows (round 5): suffix-resume split vs the XLA route
+    # that served these scenes through round 4 (VERDICT r4 missing #1)
+    s3, cam3, cfg3 = textured_gloss()
+    gloss_ms, _ = _renderer_ms(s3, cam3, cfg3, iters=10)
+    gloss_xla_ms, _ = _renderer_ms(s3, cam3,
+                                   cfg3.replace(use_megakernel=False),
+                                   iters=3)
+    return tex_ms, env_ms, tex_xla_ms, env_xla_ms, gloss_ms, gloss_xla_ms
 
 
 def bench_adjoint_sweep():
@@ -373,7 +388,8 @@ def main():
      restir_fwd_bwd_ms, restir_fwd_bwd_xla_ms,
      restir_fwd_bwd_compile) = bench_restir()
     anim_ms, anim_compile = bench_animated_restir()
-    tex_ms, env_ms, tex_xla_ms, env_xla_ms = bench_deferred_textures()
+    (tex_ms, env_ms, tex_xla_ms, env_xla_ms, gloss_ms,
+     gloss_xla_ms) = bench_deferred_textures()
     c5_ms, c5_compile = bench_config5()
     adjoint_sweep = bench_adjoint_sweep()
 
@@ -411,6 +427,8 @@ def main():
             "imgtex_xla_ms_per_pass": round(tex_xla_ms * 1e3, 2),
             "cubemap_ms_per_pass": round(env_ms * 1e3, 2),
             "cubemap_xla_ms_per_pass": round(env_xla_ms * 1e3, 2),
+            "gloss_ms_per_pass": round(gloss_ms * 1e3, 2),
+            "gloss_xla_ms_per_pass": round(gloss_xla_ms * 1e3, 2),
             "config5_ms_per_pass": round(c5_ms * 1e3, 2),
             "config5_compile_s": round(c5_compile, 1),
             "sol": sol,

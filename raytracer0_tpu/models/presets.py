@@ -268,6 +268,42 @@ def textured_cornell(**cfg_kw):
     return scene, camera, cfg
 
 
+def textured_gloss(**cfg_kw):
+    """Framework extra: a Cornell box with an IMAGE1-textured *metal*
+    sphere whose texel drives BOTH color and emission-as-glossiness
+    (raytracer.glsl:1812-1813) — the texel steers the bounce direction,
+    exercising the gloss suffix-resume split
+    (megakernel.trace_forward_gloss, round 5)."""
+    import numpy as np
+    from raytracer0_tpu.models.materials import (Material, MatType,
+                                                 MeshType, TEX_1)
+    from raytracer0_tpu.models.scene import SceneBuilder
+    import jax.numpy as jnp
+
+    g = np.linspace(0.0, 1.0, 64, dtype=np.float32)
+    images = np.ones((4, 64, 64, 4), np.float32)
+    images[1, ..., 0] = 0.3 + 0.7 * g[None, :]
+    images[1, ..., 1] = 0.3 + 0.7 * g[:, None]
+    images[1, ..., 2] = 0.5
+
+    gloss = Material(c=(0.9, 0.9, 0.9), e=(0.35, 0.35, 0.35),
+                     t=MatType.SPEC, tex=TEX_1,
+                     opts=(True, True, False, False))
+    sb = SceneBuilder()
+    sb.add("MAT_CORNELL_WHITE", MeshType.PLANE, (0.0, 1.0, 0.0), (1.5,))
+    sb.add("MAT_CORNELL_WHITE", MeshType.PLANE, (0.0, -1.0, 0.0), (1.5,))
+    sb.add("MAT_CORNELL_WHITE", MeshType.PLANE, (0.0, 0.0, 1.0), (2.5,))
+    sb.add("MAT_CORNELL_RED", MeshType.PLANE, (1.0, 0.0, 0.0), (1.5,))
+    sb.add("MAT_CORNELL_GREEN", MeshType.PLANE, (-1.0, 0.0, 0.0), (1.5,))
+    sb.add("MAT_LIGHT_4", MeshType.SPHERE, (0.0, 1.4, -1.2), (0.3,))
+    sb.add(gloss, MeshType.SPHERE, (0.0, -0.7, -1.2), (0.6,))
+    scene = sb.build().replace(images=jnp.asarray(images))
+    camera = Camera.make(origin=(0.0, 0.0, 2.8), lookat=(0.0, 0.0, -1.0),
+                         fov=50.0)
+    cfg = _cfg(use_procedural_sky=False, **cfg_kw)
+    return scene, camera, cfg
+
+
 def cubemap_demo(cubemap=None, **cfg_kw):
     """Framework extra: an open scene under a *photographic* cubemap —
     the reference's Tropical Beach environment (index.js:302-331,
@@ -349,6 +385,7 @@ PRESETS = {
     "animated_restir": animated_restir,
     "spectral_caustics": spectral_caustics,
     "textured_cornell": textured_cornell,
+    "textured_gloss": textured_gloss,
     "textured_emitter": textured_emitter,
     "cubemap_demo": cubemap_demo,
 }

@@ -1442,7 +1442,7 @@ def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
                   restir_slots=0, env_slots=0, gbuf_refs=None,
                   env_refs=None, tex_slots=0, tex_refs=None,
                   tex_acc_refs=None, restir_fused=None,
-                  texlight_refs=None):
+                  texlight_refs=None, gloss_refs=None):
     """Build the one-bounce transition function on the explicit lane-state
     carry, closed over the scene values `sv` (raytracer.glsl:1986-2105
     radiance-loop body).
@@ -1636,7 +1636,8 @@ def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
     # (initial carry values live in _st0 — the single source of truth;
     #  bounce() only ever sees the unpacked carry)
     _img_textured = [i for i in range(n_mesh)
-                     if (tex_slots or texlight_refs is not None)
+                     if (tex_slots or texlight_refs is not None
+                         or gloss_refs is not None)
                      and len(tex_types) == n_mesh
                      and int(TexType.IMAGE0) <= tex_types[i]
                      <= int(TexType.IMAGE3)
@@ -1650,6 +1651,15 @@ def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
     img_light_rows = [i for i in _img_textured
                       if texlight_refs is not None
                       and mat_types[i] == int(MatType.LIGHT)]
+    # gloss-coupled rows (round 5, VERDICT r4 next #3): SPEC surfaces
+    # whose image texel feeds emission-as-glossiness (and/or color) —
+    # the texel steers the bounce DIRECTION (raytracer.glsl:1812-1813),
+    # so the lane exports a suffix-resume record and dies; the host
+    # resolves the true texel, reproduces the brdf commit (bsdf.sample
+    # SPEC semantics, same RNG stream), and relaunches the suffix.
+    img_gloss_rows = [i for i in _img_textured
+                      if gloss_refs is not None
+                      and mat_types[i] == int(MatType.SPEC)]
 
     if cfg.use_spectral:
         hero_wl = _hero_wavelength(pix, pass_u, samp_u)
@@ -1993,6 +2003,32 @@ def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
         active = active & ~is_dirl
         surface = surface & ~is_dirl
 
+        if img_gloss_rows:
+            # gloss-coupled vertex: record (hit pos, incoming dir,
+            # pre-albedo throughput, winner idx, absolute depth,
+            # counters) and kill the lane — one record per lane per
+            # launch (the first gloss hit ends the lane; later gloss
+            # hits belong to later resume launches)
+            gl = surface & lane_mask(idx, lambda i: i in img_gloss_rows)
+            depth_g = jnp.zeros_like(hit_pos[0]) + (
+                depth_u.astype(jnp.float32) if hasattr(depth_u, "astype")
+                else float(int(depth_u)))
+            gvals = (hit_pos[0], hit_pos[1], hit_pos[2],
+                     d[0], d[1], d[2],
+                     mask[0], mask[1], mask[2],
+                     idx.astype(jnp.float32), depth_g,
+                     ndif.astype(jnp.float32), nspec.astype(jnp.float32),
+                     nscat.astype(jnp.float32),
+                     jnp.ones_like(hit_pos[0]))
+
+            @pl.when(jnp.any(gl))
+            def _():
+                for j, v in enumerate(gvals):
+                    pltpu.store(gloss_refs[j], v, mask=gl)
+
+            active = active & ~gl
+            surface = surface & ~gl
+
         # ---- brdf (1804-1884) ----
         nl = _scale(n, inside)
         u1, u2 = _uniform2(pix, pass_u, samp_u, depth_u,
@@ -2223,7 +2259,8 @@ def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d,
                  unroll=True, restir_slots=0, env_slots=0,
                  gbuf_refs=None, env_refs=None, tex_slots=0,
                  tex_refs=None, tex_acc_refs=None, restir_fused=None,
-                 texlight_refs=None, gate_from=None):
+                 texlight_refs=None, gate_from=None, gloss_refs=None,
+                 st_init=None, depth_off=None):
     """Radiance of one SoA block.  Pure in (sv, o, d) — `sv` is a tuple of
     per-mesh 36-scalar tuples (the SMEM table snapshot) so `jax.vjp` of
     this function gives the exact adjoint w.r.t. scene params and rays.
@@ -2239,8 +2276,21 @@ def _trace_block(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o, d,
     bounce = _build_bounce(meta, cfg, sv, pix, pass_u, samp_u, o,
                            restir_slots, env_slots, gbuf_refs, env_refs,
                            tex_slots, tex_refs, tex_acc_refs, restir_fused,
-                           texlight_refs)
-    st = _st0(o, d, tex_slots, restir_fused is not None)
+                           texlight_refs, gloss_refs=gloss_refs)
+    st = _st0(o, d, tex_slots, restir_fused is not None) \
+        if st_init is None else st_init
+    if depth_off is not None:
+        # suffix resume (gloss split): RNG streams key on each lane's
+        # ABSOLUTE bounce depth, so resumed paths draw the exact randoms
+        # the monolithic trace would; lanes whose absolute depth reaches
+        # max_bounces are killed — the monolithic loop would have ended
+        # them (raytracer.glsl:1994)
+        _b = bounce
+
+        def bounce(depth_u, s, _b=_b):
+            abs_d = depth_u + depth_off
+            act = jnp.where(abs_d >= np.uint32(cfg.max_bounces), 0.0, s[4])
+            return _b(abs_d, (s[0], s[1], s[2], s[3], act) + s[5:])
     if unroll:
         # full unroll: short loops trace fast and spill nothing.
         # `gate_from` wraps bounce slots >= that depth in an
@@ -3681,3 +3731,276 @@ def _imgtex_fwd(scene, cfg, ro, rd, pix, pass_idx, sample_idx):
 
 
 trace_forward_imgtex.defvjp(_imgtex_fwd, _env_bwd)
+
+
+# ----------------------------------------------------------------------
+# Gloss-coupled image textures: suffix-resume split (round 5)
+# ----------------------------------------------------------------------
+#
+# Emission-as-glossiness (raytracer.glsl:1812-1813) makes the image
+# texel steer the bounce DIRECTION on SPEC surfaces, which no
+# multiplicative deferral can express (PARITY #9) — such scenes
+# previously dropped whole renders to the XLA wavefront (152.5 ms/pass
+# at 512², BENCH_r04).  This split keeps them on the kernel:
+#
+#   launch 0   the megakernel traces primary paths; a lane hitting a
+#              gloss row exports (hit pos, incoming dir, pre-albedo
+#              throughput, idx, absolute depth, counters) and dies;
+#   resolve    the host recomputes the normal/UV from (idx, pos)
+#              (the _imgtex_rho machinery), fetches the TRUE texel,
+#              reproduces the SPEC brdf commit exactly (ops/bsdf.sample:
+#              rough = e_true*rand_dir with the lane's own BSDF_DIR
+#              stream, mask *= c_true, nspec+1, cutoff/cap gates);
+#   launch k   the megakernel RESUMES the suffixes: initial lane state
+#              injected, RNG keyed on absolute depth via a per-lane
+#              depth offset — the resumed path draws the exact randoms
+#              the monolithic trace would.
+#
+# A lane can hit at most max_spec_bounces gloss vertices, so
+# max_spec_bounces resume launches are exact (the last launch cannot
+# export: its records would all be cap-killed by the resolve gates).
+
+_GLOSS_CH = 15
+
+
+def supported_gloss(scene, cfg: RenderConfig) -> bool:
+    """Can the gloss suffix-resume split serve this (scene, cfg)?
+    Image rows must ALL be gloss rows — analytic SPEC meshes with any
+    color/emission blending.  (Mixing with DIFF/LIGHT image rows would
+    need the throughput-group bookkeeping threaded through resumes —
+    such combinations stay on the XLA path for now.)  Other textured
+    rows follow the in-kernel procedural rules."""
+    if not scene.tex_types_used:
+        return False
+    tts = scene.tex_types_static
+    opts = scene.opts_static
+    mts = scene.mesh_types_static
+    mats = scene.mat_types_static
+    if len(tts) != len(mts) or len(opts) != len(tts):
+        return False
+    has_gloss = False
+    for i, tt in enumerate(tts):
+        if tt == int(TexType.NONE) or not (opts[i][0] or opts[i][1]):
+            continue
+        if int(TexType.IMAGE0) <= tt <= int(TexType.IMAGE3):
+            analytic = mts[i] in (int(MeshType.SPHERE), int(MeshType.PLANE),
+                                  int(MeshType.BOX))
+            if not (analytic and mats[i] == int(MatType.SPEC)):
+                return False
+            has_gloss = True
+        elif tt not in _TEX_KERNEL_OK:
+            return False
+    return (
+        has_gloss
+        and _geometry_supported(scene, check_textures=False)
+        and not cfg.use_restir
+        and (not cfg.use_cubemap or scene.cubemap_is_procedural)
+        and cfg.use_biased_sampling
+        and int(cfg.render_mode) == int(RenderMode.STATIC)
+    )
+
+
+def _gloss_kernel_body(meta, cfg: RenderConfig, ft_ref, pp_ref,
+                       ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                       pix_ref,
+                       mr_ref, mg_ref, mb_ref, act_ref, spec_ref,
+                       px_ref, py_ref, pz_ref,
+                       nd_ref, ns_ref, nc_ref, doff_ref,
+                       r_ref, g_ref, b_ref, *gloss_refs):
+    sv = _load_scene_vals(ft_ref, len(meta[0]))
+    pass_u = pp_ref[0, 0].astype(jnp.uint32)
+    samp_u = pp_ref[0, 1].astype(jnp.uint32)
+    for n, r in enumerate(gloss_refs):
+        r[...] = jnp.zeros_like(r[...])
+    o = (ox_ref[:], oy_ref[:], oz_ref[:])
+    d = (dx_ref[:], dy_ref[:], dz_ref[:])
+    st_init = (o, d,
+               (mr_ref[:], mg_ref[:], mb_ref[:]),
+               (jnp.zeros_like(mr_ref[:]),) * 3,
+               act_ref[:], spec_ref[:],
+               (px_ref[:], py_ref[:], pz_ref[:]),
+               nd_ref[:].astype(jnp.int32), ns_ref[:].astype(jnp.int32),
+               nc_ref[:].astype(jnp.int32))
+    acc = _trace_block(
+        meta, cfg, sv, pix_ref[:], pass_u, samp_u, o, d,
+        unroll=cfg.max_bounces < cfg.megakernel_unroll_below,
+        gloss_refs=gloss_refs, st_init=st_init,
+        depth_off=doff_ref[:].astype(jnp.uint32))
+    r_ref[:] = acc[0]
+    g_ref[:] = acc[1]
+    b_ref[:] = acc[2]
+
+
+def _gloss_launch(scene, cfg: RenderConfig, state, pix, pass_idx,
+                  sample_idx):
+    """One megakernel launch over injected lane states; returns
+    (radiance [H,W,3], gloss record channel list [_GLOSS_CH of H,W])."""
+    (ro, rd, mask, active, specular, prev_nl, nd, ns, nc, doff) = state
+    h, w = pix.shape
+    meta = _fused_meta(scene)
+    ft = _scene_table(scene)
+    pp = jnp.asarray([[pass_idx, sample_idx]], jnp.int32).reshape(1, 2)
+    grid = (h // BLOCK_ROWS, w // BLOCK_COLS)
+    row_spec = _row_spec()
+    kernel = functools.partial(_gloss_kernel_body, meta, cfg)
+    interpret = os.environ.get("RT0_PALLAS_INTERPRET") == "1"
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=interpret,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        + [row_spec] * 19,
+        out_specs=[row_spec] * (3 + _GLOSS_CH),
+        out_shape=[jax.ShapeDtypeStruct((h, w), jnp.float32)]
+        * (3 + _GLOSS_CH),
+    )(ft, pp, ro[..., 0], ro[..., 1], ro[..., 2],
+      rd[..., 0], rd[..., 1], rd[..., 2], pix,
+      mask[..., 0], mask[..., 1], mask[..., 2],
+      active, specular,
+      prev_nl[..., 0], prev_nl[..., 1], prev_nl[..., 2],
+      nd, ns, nc, doff)
+    radiance = jnp.stack(outs[0:3], axis=-1)
+    return radiance, outs[3:]
+
+
+def _gloss_resolve(scene, cfg: RenderConfig, rec, pix, pass_idx,
+                   sample_idx):
+    """Host-side brdf commit for exported gloss records → next launch's
+    injected state (ops/bsdf.sample SPEC semantics with the true texel)."""
+    from raytracer0_tpu import rng
+    from raytracer0_tpu.ops import sampling as smp
+    from raytracer0_tpu.ops import textures as tex_ops
+    from raytracer0_tpu.ops import vecmath as vm
+
+    pos = jnp.stack(rec[0:3], axis=-1)
+    d_in = jnp.stack(rec[3:6], axis=-1)
+    mask = jnp.stack(rec[6:9], axis=-1)
+    idx = rec[9].astype(jnp.int32)
+    depth_at = rec[10].astype(jnp.uint32)
+    nd = rec[11]
+    ns = rec[12]
+    nc = rec[13]
+    valid = rec[14] > 0.5
+
+    table = jnp.concatenate([
+        jnp.asarray(scene.mesh_type, jnp.float32)[:, None],   # 0
+        scene.pos,                                            # 1:4
+        scene.color,                                          # 4:7
+        scene.tex_cmask,                                      # 7:10
+        scene.opts[:, 0:1].astype(jnp.float32),               # 10
+        jnp.asarray(scene.tex_type, jnp.float32)[:, None],    # 11
+        scene.emission,                                       # 12:15
+        scene.tex_emask,                                      # 15:18
+        scene.opts[:, 1:2].astype(jnp.float32),               # 18
+        scene.joker[:, 0:1],                                  # 19
+    ], axis=1)
+    row = _onehot_rows(idx, table)
+    mesh_t, center = row[..., 0], row[..., 1:4]
+    mat_c, cm, opt0 = row[..., 4:7], row[..., 7:10], row[..., 10]
+    tex_t = row[..., 11]
+    mat_e, em, opt1 = row[..., 12:15], row[..., 15:18], row[..., 18]
+    size = row[..., 19]
+
+    # normal (parse_hit formulas) + orientation
+    is_sphere = mesh_t == float(MeshType.SPHERE)
+    is_plane = mesh_t == float(MeshType.PLANE)
+    hp = pos - center
+    n_sph = vm.normalize(hp)
+    n_pln = vm.normalize(center)
+    half = (size * 0.5)[..., None]
+    db = jnp.abs(hp) - half
+    sx = jnp.where((db[..., 0] >= db[..., 1]) & (db[..., 0] >= db[..., 2]),
+                   jnp.sign(hp[..., 0]), 0.0)
+    sy = jnp.where((db[..., 1] >= db[..., 2]) & (db[..., 1] >= db[..., 0]),
+                   jnp.sign(hp[..., 1]), 0.0)
+    sz = jnp.where((db[..., 2] >= db[..., 0]) & (db[..., 2] >= db[..., 1]),
+                   jnp.sign(hp[..., 2]), 0.0)
+    n_box = vm.normalize(jnp.stack([sx, sy, sz], axis=-1))
+    n = jnp.where(is_sphere[..., None], n_sph,
+        jnp.where(is_plane[..., None], n_pln, n_box))
+    inside = -jnp.sign(vm.vdot(d_in, n))
+    inside = jnp.where(inside == 0.0, 1.0, inside)
+    nl = n * inside[..., None]
+
+    # true texel (spherical / dominant-axis UV, _imgtex_rho formulas)
+    rho_l = vm.safe_length(pos)
+    phi = jnp.arcsin(jnp.clip(pos[..., 1] / rho_l, -1.0 + 1e-6, 1.0 - 1e-6))
+    theta = jnp.arctan2(pos[..., 2], pos[..., 0])
+    uv_sph = jnp.stack([phi / PI, theta / (2.0 * PI)], axis=-1)
+    na = jnp.abs(n)
+    x_dom = (na[..., 0] > na[..., 1]) & (na[..., 0] > na[..., 2])
+    y_dom = (na[..., 1] > na[..., 0]) & (na[..., 1] > na[..., 2])
+    uv_x = jnp.stack([-pos[..., 2], -pos[..., 1]], axis=-1)
+    uv_y = jnp.stack([pos[..., 0], pos[..., 2]], axis=-1)
+    uv_z = jnp.stack([pos[..., 0], -pos[..., 1]], axis=-1)
+    uv = jnp.where(is_sphere[..., None], uv_sph,
+         jnp.where(x_dom[..., None], uv_x,
+         jnp.where(y_dom[..., None], uv_y, uv_z)))
+
+    present = set(scene.tex_types_static)
+    texel = jnp.zeros(uv.shape[:-1] + (4,), jnp.float32)
+    for k in range(4):
+        if int(TexType.IMAGE0) + k in present:
+            tx = tex_ops.bilinear_wrap(scene.images[k], uv)
+            texel = jnp.where((tex_t == float(int(TexType.IMAGE0) + k))
+                              [..., None], tx, texel)
+
+    bc = (opt0 * texel[..., 3])[..., None]
+    be = (opt1 * texel[..., 3])[..., None]
+    c_true = jnp.maximum(mat_c + (texel[..., :3] * cm - mat_c) * bc, 0.001)
+    e_true = jnp.maximum(mat_e + (texel[..., :3] * em - mat_e) * be, 0.001)
+
+    # SPEC brdf commit (bsdf.sample: rough = e*rand_dir, mirror+perturb)
+    u1, u2 = rng.uniform2(pix, pass_idx, sample_idx, depth_at,
+                          rng.Stream.BSDF_DIR)
+    rand_dir = smp.random_direction(nl, u1, u2, cfg.use_biased_sampling)
+    refl = vm.normalize(e_true * rand_dir + vm.reflect(d_in, nl))
+    new_o = pos + nl * cfg.epsilon
+    new_mask = mask * c_true
+    ns2 = ns + 1.0
+
+    cutoff = jnp.max(new_mask, axis=-1) < 0.01
+    capped = ((nd >= cfg.max_diff_bounces)
+              | (ns2 >= cfg.max_spec_bounces)
+              | (nc >= cfg.max_scattering_events))
+    alive = valid & ~cutoff & ~capped
+
+    state = (new_o, refl, new_mask,
+             jnp.where(alive, 1.0, 0.0), jnp.ones_like(ns),  # specular
+             nl, nd, ns2, nc,
+             (depth_at + jnp.uint32(1)).astype(jnp.float32))
+    return state, alive
+
+
+def trace_forward_gloss(scene, cfg: RenderConfig, ro, rd, pix, pass_idx,
+                        sample_idx):
+    """Megakernel radiance for gloss-coupled image-texture scenes via
+    the suffix-resume split, matching `integrator.trace` bit-for-bit on
+    the supported class (the resume draws the monolithic trace's exact
+    RNG; the only host math is the brdf commit at gloss vertices, in
+    the XLA ops the integrator itself uses).  Forward-only dispatch —
+    gradients route through the XLA wavefront like the other texture
+    splits (`_env_bwd`)."""
+    h, w = pix.shape
+    assert supports_shape(h, w), (h, w)
+    zero = jnp.zeros((h, w), jnp.float32)
+    state = (ro, rd, jnp.ones((h, w, 3), jnp.float32),
+             jnp.ones((h, w), jnp.float32), jnp.ones((h, w), jnp.float32),
+             jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (h, w, 3)),
+             zero, zero, zero, zero)
+    total = jnp.zeros((h, w, 3), jnp.float32)
+    for it in range(cfg.max_spec_bounces + 1):
+        rad, rec = _gloss_launch(scene, cfg, state, pix, pass_idx,
+                                 sample_idx)
+        total = total + rad
+        if it == cfg.max_spec_bounces:
+            break
+        state, _ = _gloss_resolve(scene, cfg, rec, pix, pass_idx,
+                                  sample_idx)
+    if cfg.use_spectral:
+        from raytracer0_tpu.ops import spectral
+        wl = spectral.sample_wavelength(
+            rng_mod.uniform(pix, pass_idx, sample_idx,
+                            rng_mod.Stream.WAVELENGTH))
+        total = total * spectral.wavelength_to_rgb(wl)
+    return total

@@ -121,6 +121,22 @@ def _megakernel_imgtex_ok(scene, cfg, height, width, restir_sampler):
         return False
 
 
+def _megakernel_gloss_ok(scene, cfg, height, width, restir_sampler):
+    """Dispatch gate for the gloss suffix-resume split (round 5):
+    image-textured SPEC rows — the texel steers the bounce direction, so
+    the kernel exports resume records and the host replays the brdf
+    commit with the true texel (megakernel.trace_forward_gloss)."""
+    if not cfg.use_megakernel or restir_sampler is not None:
+        return False
+    from raytracer0_tpu.ops import megakernel
+    if not megakernel.supported_gloss(scene, cfg):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
 def _megakernel_restir_ok(scene, cfg, height, width):
     """Dispatch gate for the split ReSTIR fast path (forward-only)."""
     if not cfg.use_megakernel:
@@ -173,6 +189,10 @@ def sample_radiance(scene, cfg: RenderConfig, camera: Camera,
         from raytracer0_tpu.ops import megakernel
         trace_fn = _padded_trace(
             lambda *a: megakernel.trace_forward_imgtex(*a), height, width)
+    elif _megakernel_gloss_ok(scene, cfg, height, width, restir_sampler):
+        from raytracer0_tpu.ops import megakernel
+        trace_fn = _padded_trace(
+            lambda *a: megakernel.trace_forward_gloss(*a), height, width)
     else:
         trace_fn = lambda scene, cfg, ro, rd, pix, p, s: integrator.trace(
             scene, cfg, ro, rd, pix, p, s,

@@ -2010,9 +2010,10 @@ def _build_bounce(meta, cfg: RenderConfig, sv, pix, pass_u, samp_u, o,
             # launch (the first gloss hit ends the lane; later gloss
             # hits belong to later resume launches)
             gl = surface & lane_mask(idx, lambda i: i in img_gloss_rows)
+            # u32 -> f32 hops through i32 (no direct Mosaic cast)
             depth_g = jnp.zeros_like(hit_pos[0]) + (
-                depth_u.astype(jnp.float32) if hasattr(depth_u, "astype")
-                else float(int(depth_u)))
+                depth_u.astype(jnp.int32).astype(jnp.float32)
+                if hasattr(depth_u, "astype") else float(int(depth_u)))
             gvals = (hit_pos[0], hit_pos[1], hit_pos[2],
                      d[0], d[1], d[2],
                      mask[0], mask[1], mask[2],
@@ -3825,7 +3826,8 @@ def _gloss_kernel_body(meta, cfg: RenderConfig, ft_ref, pp_ref,
         meta, cfg, sv, pix_ref[:], pass_u, samp_u, o, d,
         unroll=cfg.max_bounces < cfg.megakernel_unroll_below,
         gloss_refs=gloss_refs, st_init=st_init,
-        depth_off=doff_ref[:].astype(jnp.uint32))
+        # f32 -> u32 has no Mosaic cast; hop through i32
+        depth_off=doff_ref[:].astype(jnp.int32).astype(jnp.uint32))
     r_ref[:] = acc[0]
     g_ref[:] = acc[1]
     b_ref[:] = acc[2]

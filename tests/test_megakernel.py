@@ -659,9 +659,8 @@ def test_imgtex_gloss_coupled_rows_stay_xla():
     """Emission-as-glossiness coupling (raytracer.glsl:1812-1813) makes
     the texel steer the bounce *direction* — not deferrable by a
     multiplicative ratio, so such scenes must be rejected by
-    supported_imgtex and take the XLA wavefront (documented limitation,
-    PARITY #9; the XLA route's cost is benched as
-    imgtex_xla_ms_per_pass)."""
+    supported_imgtex and supported (they dispatch to the suffix-resume
+    gloss split instead since round 5 — trace_forward_gloss; PARITY #9)."""
     import jax.numpy as jnp
     from raytracer0_tpu.models.materials import (
         Material, MatType, MeshType, TEX_1)
@@ -679,6 +678,7 @@ def test_imgtex_gloss_coupled_rows_stay_xla():
     _, _, cfg = cornell_default()
     assert not megakernel.supported_imgtex(scene, cfg)
     assert not megakernel.supported(scene, cfg)
+    assert megakernel.supported_gloss(scene, cfg)  # round-5 fast path
 
 
 def _dir_light_scene():

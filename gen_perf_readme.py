@@ -36,8 +36,10 @@ def fmt(detail):
         ("ReSTIR (restir_demo, 9 lights, fused in-kernel pipeline)",
          f"{d['restir_ms_per_pass']} ms "
          f"(round-3 split path: {d.get('restir_split_ms_per_pass', '?')} ms)"),
-        ("ReSTIR fwd+bwd (differentiable reservoir state)",
-         f"{d.get('restir_fwd_bwd_ms', '?')} ms"),
+        ("ReSTIR fwd+bwd (differentiable reservoir state, fused adjoint)",
+         f"{d.get('restir_fwd_bwd_ms', '?')} ms"
+         + (f" (XLA route: {d['restir_fwd_bwd_xla_ms']} ms)"
+            if 'restir_fwd_bwd_xla_ms' in d else "")),
         ("ReSTIR stress (41 lights)",
          f"{d.get('restir_stress_ms_per_pass', '?')} ms"),
         ("animated ReSTIR frame (6 bounces, EMA)",
@@ -49,6 +51,9 @@ def fmt(detail):
         ("photographic cubemap (deferred fetches)",
          f"{d.get('cubemap_ms_per_pass', '?')} ms "
          f"(XLA route: {d.get('cubemap_xla_ms_per_pass', '?')} ms)"),
+        ("gloss-coupled image texture (suffix-resume split)",
+         f"{d.get('gloss_ms_per_pass', '?')} ms "
+         f"(XLA route: {d.get('gloss_xla_ms_per_pass', '?')} ms)"),
         ("spectral+volumetric (config 5)",
          f"{d['config5_ms_per_pass']} ms"),
     ]

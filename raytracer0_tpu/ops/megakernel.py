@@ -19,27 +19,37 @@ at trace time from the scene's static structure, exactly like the
 reference's codegen constant folding.
 
 Coverage (static preconditions, `supported()`): analytic primitives,
-the SDF shape library, DIFF/SPEC/REFR/COAT, NEE + MIS, procedural sky,
-hero-wavelength spectral transport (Cauchy dispersion in-kernel, CMF
-RGB conversion outside), and homogeneous participating media (free-path
-sampling, HG in-scatter NEE, fog-attenuated shadow rays) — i.e.
-BASELINE configs 1-3 and 5.  ReSTIR runs *fused* (round 4,
+the SDF shape library, DIFF/SPEC/REFR/COAT, NEE + MIS (all three
+reference light samplers in-kernel since round 5: sphere cone, SDF
+bounding-ellipsoid point, directional occlusion-to-infinity),
+procedural sky, hero-wavelength spectral transport (Cauchy dispersion
+in-kernel, CMF RGB conversion outside), homogeneous participating media
+(free-path sampling, HG in-scatter NEE, fog-attenuated shadow rays),
+and CHECK/RIPPLE on spheres (polynomial spherical UV) — i.e. BASELINE
+configs 1-3 and 5.  ReSTIR runs *fused* (round 4,
 `trace_forward_restir_fused`): all four reservoir phases + reservoir
 shading inside the bounce loop with a 5-channel state export —
 full-grid, row-band (tile mode), and per-shard (multi-chip) launches.
 Image textures and photographic cubemaps run as split kernels with
-deferred-record resolution.  RNG is the same counter hash, so these
-kernels are *bit-compatible* with `integrator.trace` and validated
-against it per-pixel.
+deferred-record resolution; gloss-coupled image textures run on the
+suffix-resume split (round 5, `trace_forward_gloss`).  RNG is the same
+counter hash, so these kernels are *bit-compatible* with
+`integrator.trace` and validated against it per-pixel.
 
 Gradients: the backward pass is its own Pallas kernel.  The bounce loop
 is a pure function of (scene table, primary ray) per block, so the
-backward kernel simply traces `jax.vjp` of the unrolled loop *inside*
-the kernel body: the forward is replayed block-resident in VMEM (RNG is
-counter-based, replay is exact) and XLA-transposed ops produce
-AD-exact gradients w.r.t. scene parameters and primary rays — no
-hand-derived adjoints, no HBM residuals.  Per-mesh parameter gradients
-are accumulated across the sequential TPU grid into one SMEM table.
+backward kernel replays it block-resident under `jax.vjp` (RNG is
+counter-based, replay is exact) and XLA-transposed ops produce AD-exact
+gradients w.r.t. scene parameters and primary rays — no hand-derived
+adjoints, no HBM residuals.  The default plain-path adjoint is the
+round-5 *per-slot stash* kernel (`_bwd_slotted_kernel_body`): forward
+sweep stashes each live bounce's input carry in VMEM and stops at the
+block's last live bounce, backward sweep vjp's ONE bounce per live slot
+— dead tail slots skip both sweeps (bwd/fwd 1.62 vs 2.25 whole-graph at
+12 bounces).  The fused ReSTIR kernel has its own adjoint
+(`_fused_restir_call` custom_vjp) with taps/history as differentiable
+inputs.  Per-mesh parameter gradients are accumulated across the
+sequential TPU grid into one SMEM table.
 """
 
 from __future__ import annotations

@@ -97,6 +97,15 @@ def cmd_render(args):
         # reaches the host every `checkpoint_every` passes.
         chunk = args.checkpoint_every if args.checkpoint else args.passes
         done = 0
+        # First pass via render_pass: XLA compiles the scan-wrapped
+        # kernel ~2.5x slower than pass + scan sequentially (66 vs
+        # 27+2 s cold at 64² — the persistent cache reuses the Mosaic
+        # kernel for the scan compile).
+        timer.block_passes = 1
+        with timer:
+            r.step(time_s=args.time)
+            sync(r.state.passes)
+        done += 1
         while done < args.passes:
             n = min(chunk, args.passes - done)
             timer.block_passes = n

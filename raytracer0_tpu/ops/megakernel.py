@@ -2515,20 +2515,31 @@ def _bwd_kernel_body(meta, cfg: RenderConfig, ft_ref, pp_ref,
 
 _ST_F = 17   # float carry channels: o3 d3 mask3 acc3 active spec prev_nl3
 _ST_I = 3    # int carry channels: ndif nspec nscat (no cotangents)
+_ST_RF = 4   # fused-ReSTIR extra float channels: ws m w age
+_ST_RI = 1   # fused-ReSTIR extra int channel: winner light index
 
 
-def _st_to_channels(st):
-    """Flatten the plain-path carry into (floats[17], ints[3]) lists."""
-    o, d, mask, acc, active_f, specular_f, prev_nl, ndif, nspec, nscat = st
+def _st_to_channels(st, restir=False):
+    """Flatten the bounce carry into (floats, ints) channel lists."""
+    (o, d, mask, acc, active_f, specular_f, prev_nl,
+     ndif, nspec, nscat) = st[:10]
     floats = [*o, *d, *mask, *acc, active_f, specular_f, *prev_nl]
-    return floats, [ndif, nspec, nscat]
+    ints = [ndif, nspec, nscat]
+    if restir:
+        r_ws, r_m, r_w, r_age, r_idx = st[10:15]
+        floats += [r_ws, r_m, r_w, r_age]
+        ints += [r_idx]
+    return floats, ints
 
 
-def _st_from_channels(floats, ints):
+def _st_from_channels(floats, ints, restir=False):
     f = list(floats)
-    return ((f[0], f[1], f[2]), (f[3], f[4], f[5]), (f[6], f[7], f[8]),
-            (f[9], f[10], f[11]), f[12], f[13], (f[14], f[15], f[16]),
-            ints[0], ints[1], ints[2])
+    st = ((f[0], f[1], f[2]), (f[3], f[4], f[5]), (f[6], f[7], f[8]),
+          (f[9], f[10], f[11]), f[12], f[13], (f[14], f[15], f[16]),
+          ints[0], ints[1], ints[2])
+    if restir:
+        st = st + (f[17], f[18], f[19], f[20], ints[3])
+    return st
 
 
 def _bwd_slotted_kernel_body(meta, cfg: RenderConfig, ft_ref, pp_ref,
@@ -3075,6 +3086,133 @@ def _fused_restir_bwd_kernel_body(meta, cfg: RenderConfig, hw, ft_ref,
                 dft_ref[i, c] = dft_ref[i, c] + g
 
 
+def _fused_restir_bwd_slotted_kernel_body(
+        meta, cfg: RenderConfig, hw, ft_ref, pp_ref,
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+        pix_ref, taps_ref, hist_ref,
+        ctr_ref, ctg_ref, ctb_ref, ctres_ref,
+        dft_ref,
+        dox_ref, doy_ref, doz_ref, ddx_ref, ddy_ref, ddz_ref,
+        dtaps_ref, dhist_ref,
+        stash_ref, ct_ref, ran_ref, dsv_ref):
+    """Per-slot stash adjoint of the fused ReSTIR kernel (the
+    `_bwd_slotted_kernel_body` scheme extended with the 5-channel
+    reservoir carry and per-slot tap/history cotangent accumulation).
+    Dead tail slots skip both sweeps; the vjp residual stack is bounded
+    to ONE bounce+vertex, so no raised VMEM cap is needed."""
+    n_mesh = len(meta[0])
+    nb = cfg.max_bounces
+    nf = _ST_F + _ST_RF
+    ni = _ST_I + _ST_RI
+    sv = _load_scene_vals(ft_ref, n_mesh)
+    pass_u = pp_ref[0, 0].astype(jnp.uint32)
+    samp_u = pp_ref[0, 1].astype(jnp.uint32)
+    row0 = pp_ref[0, 2]
+    pix = pix_ref[:]
+    o = (ox_ref[:], oy_ref[:], oz_ref[:])
+    d = (dx_ref[:], dy_ref[:], dz_ref[:])
+    taps_v = taps_ref[...]
+    hist_v = hist_ref[...]
+
+    def bounce_of(sv_t, taps_t, hist_t):
+        return _build_bounce(
+            meta, cfg, sv_t, pix, pass_u, samp_u, o,
+            restir_fused=dict(taps_ref=taps_t, hist_ref=hist_t,
+                              height=hw[0], width=hw[1], row0=row0))
+
+    bounce = bounce_of(sv, taps_v, hist_v)
+
+    # ---- forward sweep ----
+    floats0, ints0 = _st_to_channels(_st0(o, d, restir_fused=True),
+                                     restir=True)
+    for c, v in enumerate(floats0):
+        stash_ref[0, c] = v
+    for c, v in enumerate(ints0):
+        stash_ref[0, nf + c] = v.astype(jnp.float32)
+    ran_ref[0] = 1
+
+    for k in range(nb):
+        @pl.when(ran_ref[0] > k)
+        def _(k=k):
+            floats = [stash_ref[k, c] for c in range(nf)]
+            ints = [stash_ref[k, nf + c].astype(jnp.int32)
+                    for c in range(ni)]
+            st2 = bounce(np.uint32(k),
+                         _st_from_channels(floats, ints, restir=True))
+            f2, i2 = _st_to_channels(st2, restir=True)
+            for c, v in enumerate(f2):
+                stash_ref[k + 1, c] = v
+            for c, v in enumerate(i2):
+                stash_ref[k + 1, nf + c] = v.astype(jnp.float32)
+            alive = jnp.max(f2[12]) > 0.5
+            ran_ref[0] = jnp.where(alive, k + 2, k + 1)
+
+    # ---- cotangent init: radiance + final reservoir floats ----
+    zeros = jnp.zeros_like(ctr_ref[:])
+    for c in range(nf):
+        ct_ref[c] = zeros
+    ct_ref[9] = ctr_ref[:]
+    ct_ref[10] = ctg_ref[:]
+    ct_ref[11] = ctb_ref[:]
+    for c in range(_ST_RF):
+        ct_ref[_ST_F + c] = ctres_ref[c]
+    for i in range(n_mesh):
+        for c in range(_NCOLS):
+            dsv_ref[i, c] = 0.0
+    dtaps_ref[...] = jnp.zeros_like(dtaps_ref[...])
+    dhist_ref[...] = jnp.zeros_like(dhist_ref[...])
+
+    # ---- backward sweep ----
+    for k in reversed(range(nb)):
+        @pl.when(ran_ref[0] > k)
+        def _(k=k):
+            floats = [stash_ref[k, c] for c in range(nf)]
+            ints = [stash_ref[k, nf + c].astype(jnp.int32)
+                    for c in range(ni)]
+
+            def f(sv_t, fl, taps_t, hist_t):
+                st2 = bounce_of(sv_t, taps_t, hist_t)(
+                    np.uint32(k), _st_from_channels(fl, ints, restir=True))
+                return _st_to_channels(st2, restir=True)[0]
+
+            _, vjp = jax.vjp(f, sv, floats, taps_v, hist_v)
+            ct_out = [ct_ref[c] for c in range(nf)]
+            d_sv, d_fl, d_tp, d_hs = vjp(ct_out)
+            for c in range(nf):
+                ct_ref[c] = d_fl[c]
+            dtaps_ref[...] = dtaps_ref[...] + d_tp
+            dhist_ref[...] = dhist_ref[...] + d_hs
+            for i in range(n_mesh):
+                for c in range(_NCOLS):
+                    dsv_ref[i, c] = dsv_ref[i, c] + d_sv[i][c]
+
+    # ---- emit ----
+    dox_ref[:] = ct_ref[0]
+    doy_ref[:] = ct_ref[1]
+    doz_ref[:] = ct_ref[2]
+    ddx_ref[:] = ct_ref[3]
+    ddy_ref[:] = ct_ref[4]
+    ddz_ref[:] = ct_ref[5]
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    for i in range(n_mesh):
+        for c in range(_NCOLS):
+            g = dsv_ref[i, c]
+
+            @pl.when(first)
+            def _(i=i, c=c, g=g):
+                dft_ref[i, c] = g
+
+            @pl.when(~first)
+            def _(i=i, c=c, g=g):
+                dft_ref[i, c] = dft_ref[i, c] + g
+
+
+def _fused_bwd_slotted() -> bool:
+    """Per-slot stash adjoint for the fused ReSTIR kernel
+    (RT0_FUSED_BWD_SLOTTED; trace-time)."""
+    return os.environ.get("RT0_FUSED_BWD_SLOTTED", "0") == "1"
+
+
 def _fused_restir_backward(scene, cfg: RenderConfig, ro, rd, pix,
                            pass_idx, sample_idx, taps, hist5, row0,
                            full_h, full_w, ct_rad, ct_res5):
@@ -3088,15 +3226,31 @@ def _fused_restir_backward(scene, cfg: RenderConfig, ro, rd, pix,
 
     grid = (h // BLOCK_ROWS, w // BLOCK_COLS)
     row_spec = _row_spec()
-    kernel = functools.partial(_fused_restir_bwd_kernel_body, meta, cfg,
-                               (full_h, full_w))
     interpret = os.environ.get("RT0_PALLAS_INTERPRET") == "1"
-    # The vjp residual stack of the fused trace overflows the default
-    # 16 MiB scoped-VMEM budget (~33 MiB at 6 bounces); raise the
-    # per-kernel cap — v5e has 128 MiB physical VMEM.
-    params = pltpu.CompilerParams(
-        vmem_limit_bytes=int(os.environ.get("RT0_BWD_VMEM_MB", "96"))
-        * 1024 * 1024)
+    scratch = []
+    if _fused_bwd_slotted():
+        kernel = functools.partial(_fused_restir_bwd_slotted_kernel_body,
+                                   meta, cfg, (full_h, full_w))
+        nf = _ST_F + _ST_RF
+        ni = _ST_I + _ST_RI
+        scratch = [
+            pltpu.VMEM((cfg.max_bounces + 1, nf + ni,
+                        BLOCK_ROWS, BLOCK_COLS), jnp.float32),  # stash
+            pltpu.VMEM((nf, BLOCK_ROWS, BLOCK_COLS), jnp.float32),  # ct
+            pltpu.SMEM((1,), jnp.int32),                        # ran
+            pltpu.SMEM((len(meta[0]), _NCOLS), jnp.float32),    # dsv acc
+        ]
+        # residuals bounded to one bounce+vertex: default scope suffices
+        params = pltpu.CompilerParams()
+    else:
+        kernel = functools.partial(_fused_restir_bwd_kernel_body, meta,
+                                   cfg, (full_h, full_w))
+        # The whole-graph vjp residual stack overflows the default
+        # 16 MiB scoped-VMEM budget (~33 MiB at 6 bounces); raise the
+        # per-kernel cap — v5e has 128 MiB physical VMEM.
+        params = pltpu.CompilerParams(
+            vmem_limit_bytes=int(os.environ.get("RT0_BWD_VMEM_MB", "96"))
+            * 1024 * 1024)
     n_taps = taps.shape[0]
     tap_spec = pl.BlockSpec((n_taps, _RES_CH, BLOCK_ROWS, BLOCK_COLS),
                             lambda i, j: (0, 0, i, j),
@@ -3109,6 +3263,7 @@ def _fused_restir_backward(scene, cfg: RenderConfig, ro, rd, pix,
         grid=grid,
         interpret=interpret,
         compiler_params=params,
+        scratch_shapes=scratch,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # ft
             pl.BlockSpec(memory_space=pltpu.SMEM),   # pp

@@ -203,8 +203,9 @@ def _textured_scene():
 
 
 def test_textured_supported_gates():
-    """Procedural textures reach the kernel; image textures and
-    UV-textured spheres stay on the XLA path (no Mosaic gather/asin)."""
+    """Procedural textures reach the kernel — since round 5 including
+    CHECK/RIPPLE on spheres (polynomial spherical UV); image textures
+    dispatch to their splits, never the plain gate."""
     from raytracer0_tpu.models.camera import Camera
     from raytracer0_tpu.models.materials import MeshType
     from raytracer0_tpu.models.scene import SceneBuilder
@@ -214,11 +215,11 @@ def test_textured_supported_gates():
     assert megakernel.supported(scene, cfg)
     s2, _, c2 = cornell_box()       # IMAGE1-textured sphere light
     assert not megakernel.supported(s2, c2)
-    # UV-textured SPHERE needs spherical UV (asin/atan2) -> XLA path
+    # UV-textured SPHERE: in-kernel spherical UV (round 5)
     b = SceneBuilder()
     b.add("MAT_CHECK_WHITE", MeshType.SPHERE, (0.0, 0.0, 0.0), (1.0,))
     b.add("MAT_LIGHT_4", MeshType.SPHERE, (0.0, 1.5, 0.0), (0.4,))
-    assert not megakernel.supported(b.build(), cfg)
+    assert megakernel.supported(b.build(), cfg)
 
 
 def test_textured_matches_integrator_interpret():

@@ -33,17 +33,26 @@ def render_linear(scene, cfg, camera, height, width, passes=1):
     pass loop (differentiable carried state, BASELINE.json north star) —
     gradients flow through candidate weights, temporal/spatial combines
     and the final shading, with the discrete selections detached
-    (VERDICT r3 weak #4: this used to silently drop ReSTIR)."""
-    from raytracer0_tpu.render.renderer import sample_radiance
+    (VERDICT r3 weak #4: this used to silently drop ReSTIR).  On TPU
+    with a fused-supported scene the chain runs on the fused kernel +
+    its Pallas adjoint (round 5): the adjoint's tap/history cotangents
+    carry gradients BETWEEN frames, so this is true backprop through
+    the temporal reservoir pipeline at kernel speed."""
+    from raytracer0_tpu.render.renderer import (
+        _megakernel_restir_fused_ok, sample_radiance)
 
     total = jnp.zeros((height, width, 3), jnp.float32)
     if cfg.use_restir:
         from raytracer0_tpu.ops import restir as restir_ops
         from raytracer0_tpu.render.state import RenderState
 
+        if _megakernel_restir_fused_ok(scene, cfg, height, width):
+            render_fn = restir_ops.render_sample_fused
+        else:
+            render_fn = restir_ops.render_sample
         st = RenderState.create(height, width)
         for p in range(passes):
-            rad, new_back = restir_ops.render_sample(
+            rad, new_back = render_fn(
                 scene, cfg, camera, st, height, width, jnp.uint32(p))
             st = st.rotate_reservoirs(new_back)
             total = total + rad

@@ -152,8 +152,9 @@ def _megakernel_restir_ok(scene, cfg, height, width):
 
 
 def _megakernel_restir_fused_ok(scene, cfg, height, width):
-    """Dispatch gate for the fused in-kernel ReSTIR path (forward-only):
-    trace + reservoir phases + shading in one Pallas launch."""
+    """Dispatch gate for the fused in-kernel ReSTIR path: trace +
+    reservoir phases + shading in one Pallas launch; differentiable
+    since round 5 (the fused Pallas adjoint, megakernel._fused_restir_call)."""
     if not cfg.use_megakernel:
         return False
     from raytracer0_tpu.ops import megakernel
